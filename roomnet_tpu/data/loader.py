@@ -1,0 +1,243 @@
+"""Prefetching data feeder: host decode pool -> bounded queue -> device.
+
+TPU-native redesign of the reference's single-producer `TrainFeeder`
+(generator.py:20-177). Differences by design:
+  * N decode workers (cv2 releases the GIL) instead of one producer thread;
+  * bounded queue with blocking put/get — no busy-wait (the reference
+    `dequeue` spins on empty, generator.py:173-177) and no sleep(2) poll;
+  * deterministic per-batch RNG derived from (seed, epoch, batch) so runs
+    are reproducible — the reference uses global np.random state;
+  * optional device prefetch: batches are `jax.device_put` ahead of use so
+    the host->HBM copy overlaps the previous step's compute.
+
+Augmentation/crop semantics preserved exactly:
+  * train: random sliding square crop (generator.py:52-67), cv2.resize to
+    (S,S) INTER_LINEAR, p=.5 horizontal flip, p=.5 vertical flip
+    (generator.py:89-92);
+  * val: center crop (generator.py:69-78) + resize, no flips;
+  * epoch accounting: batches_per_epoch = N // batch_size, tail dropped,
+    shuffle at epoch boundaries (generator.py:39, 126-133);
+  * `train_state` dict with the same keys (generator.py:48-49, 134-135).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from roomnet_tpu.data.dataset import parse_list_line
+
+__all__ = ["TrainFeeder", "random_sliding_square_crop", "center_crop", "load_and_preprocess"]
+
+
+def random_sliding_square_crop(im: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Square crop at a random offset along the long side (generator.py:52-67)."""
+    h, w = im.shape[:2]
+    if h == w:
+        return im
+    if h < w:
+        start = rng.randint(w - h)
+        return im[:, start : start + h, :]
+    start = rng.randint(h - w)
+    return im[start : start + w, :, :]
+
+
+def center_crop(im: np.ndarray) -> np.ndarray:
+    """Centered square crop (generator.py:69-78, network.py:137-146)."""
+    h, w = im.shape[:2]
+    off = abs((w - h) // 2)
+    if h < w:
+        return im[:, off : off + h, :]
+    if w < h:
+        return im[off : off + w, :, :]
+    return im
+
+
+def load_and_preprocess(
+    fpath: str,
+    im_side: int,
+    *,
+    random_crop: bool,
+    augment: bool,
+    rng: np.random.RandomState,
+) -> np.ndarray | None:
+    """Decode + crop + resize + optional flips. Returns HWC uint8 BGR."""
+    import cv2
+
+    im = cv2.imread(fpath)
+    if im is None:
+        return None
+    im = random_sliding_square_crop(im, rng) if random_crop else center_crop(im)
+    if im.shape[0] != im_side or im.shape[1] != im_side:
+        im = cv2.resize(im, (im_side, im_side))
+    if augment:
+        # Order matches generator.py:89-92: fliplr draw, then flipud draw.
+        if rng.uniform() > 0.5:
+            im = np.fliplr(im)
+        if rng.uniform() > 0.5:
+            im = np.flipud(im)
+    return np.ascontiguousarray(im)
+
+
+class TrainFeeder:
+    """Async batch feeder with the reference's public surface.
+
+    API parity: ``dequeue() -> (x_bgr_uint8[B,S,S,3], y[B])`` and a
+    ``train_state`` dict {'epoch','batch','total_iters','previous_epoch_done'}
+    (generator.py:48-49, 165-177).
+    """
+
+    def __init__(
+        self,
+        fpaths: list[str],
+        shuffle: bool = True,
+        batch_size: int = 8,
+        preprocess: bool = True,
+        batches_per_queue: int = 40,
+        random_crop: bool = True,
+        im_side: int = 300,
+        *,
+        seed: int = 0,
+        decode_workers: int = 8,
+        start: bool = True,
+    ):
+        self.fpaths = np.array([l for l in fpaths if l.strip()])
+        self.shuffle = shuffle
+        self.random_crop = random_crop
+        self.augment = preprocess
+        self.im_side = im_side
+        self.seed = seed
+        self.epoch_size_total = len(self.fpaths)
+        self.batch_size = min(batch_size, self.epoch_size_total)
+        self.batches_per_epoch = self.epoch_size_total // self.batch_size
+        self.epoch_size = self.batch_size * self.batches_per_epoch
+        self.train_state = {
+            "epoch": 1,
+            "batch": 0,
+            "total_iters": 0,
+            "previous_epoch_done": False,
+        }
+        self._q: queue.Queue = queue.Queue(maxsize=batches_per_queue)
+        self._stop = threading.Event()
+        self._pool = ThreadPoolExecutor(max_workers=decode_workers)
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        if start:
+            self._thread.start()
+
+    # -- producer ----------------------------------------------------------
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        idx = np.arange(self.epoch_size_total)
+        if self.shuffle:
+            np.random.RandomState((self.seed * 1_000_003 + epoch) & 0x7FFFFFFF).shuffle(idx)
+        return idx
+
+    def _make_batch(self, epoch: int, batch_i: int, order: np.ndarray):
+        start = batch_i * self.batch_size
+        lines = self.fpaths[order[start : start + self.batch_size]]
+        parsed = [parse_list_line(l) for l in lines]
+
+        def one(args):
+            i, (path, label) = args
+            rng = np.random.RandomState(
+                (self.seed * 2_000_003 + epoch * 9_973 + batch_i * 101 + i) & 0x7FFFFFFF
+            )
+            im = load_and_preprocess(
+                path,
+                self.im_side,
+                random_crop=self.random_crop,
+                augment=self.augment,
+                rng=rng,
+            )
+            return im, label, path
+
+        results = list(self._pool.map(one, enumerate(parsed)))
+        xs = [r[0] for r in results if r[0] is not None]
+        ys = [r[1] for r in results if r[0] is not None]
+        paths = [r[2] for r in results if r[0] is not None]
+        if not xs:  # whole batch unreadable — keep shape contract with zeros
+            xs = [np.zeros((self.im_side, self.im_side, 3), np.uint8)]
+            ys = [0]
+            paths = [""]
+        return np.stack(xs), np.asarray(ys, np.int32), np.asarray(paths)
+
+    def _producer(self):
+        epoch = 0
+        total = 0
+        while not self._stop.is_set():
+            order = self._epoch_order(epoch)
+            for b in range(self.batches_per_epoch):
+                if self._stop.is_set():
+                    return
+                x, y, paths = self._make_batch(epoch, b, order)
+                total += 1
+                state = {
+                    "epoch": epoch + 1,
+                    "batch": b + 1,
+                    "total_iters": total,
+                    # Flag mirrors generator.py:134-135: set on the FIRST
+                    # batch of a new epoch (it signals the previous epoch
+                    # finished), never on epoch 0.
+                    "previous_epoch_done": (b == 0 and epoch > 0),
+                }
+                while not self._stop.is_set():
+                    try:
+                        self._q.put((x, y, paths, state), timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+            epoch += 1
+
+    # -- consumer ----------------------------------------------------------
+    def dequeue(self) -> tuple[np.ndarray, np.ndarray]:
+        x, y, paths, state = self._q.get()
+        self.batch_fpaths = paths
+        self.train_state = state
+        return x, y
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        while True:
+            yield self.dequeue()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def device_prefetch(iterator, *, size: int = 2, sharding=None):
+    """Wrap a host-batch iterator with `jax.device_put` double-buffering.
+
+    Keeps `size` batches in flight on device so the host->HBM DMA overlaps
+    step compute (the TPU-native replacement for the reference's host-side
+    queue between feeder and session, generator.py:159-163).
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        while True:
+            while len(buf) < size:
+                x, y = next(it)
+                buf.append(jax.device_put((x, y), sharding))
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()

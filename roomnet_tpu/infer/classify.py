@@ -1,0 +1,198 @@
+"""Batched directory inference: the reference infer.py, device-resident.
+
+Reference behavior preserved (infer.py:65-100):
+  * classify every image in a dir; write `.xls` sheet 'classification_results'
+    with IMAGE_NAME / PREDICTED_LABEL / confidence columns (infer.py:75-78,
+    96-98 — confidence goes to column 2 with no header, faithfully);
+  * one output dir per class, each image dropped into its predicted class
+    dir — annotated copy (overlay) or raw copy (infer.py:87-95);
+  * per-image preprocess: center-crop -> resize(S,S) -> BGR->RGB -> [-1,1]
+    (network.py:148-156).
+
+TPU-native redesign: instead of sess.run per image (batch size 1! —
+infer.py:82), images stream through a decode thread pool into fixed-size
+device batches with a padded final batch; one jitted fused
+preprocess+forward+softmax+argmax serves the whole directory.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from glob import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roomnet_tpu import CLASS_LABELS
+from roomnet_tpu.data.loader import center_crop
+from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, forward, normalize_bgr_uint8
+from roomnet_tpu.utils.xls import Workbook
+
+
+def force_makedir(d: str):
+    os.makedirs(d, exist_ok=True)
+
+
+class RoomNetClassifier:
+    """Batched classifier over converted params (optimized-inference mode)."""
+
+    def __init__(
+        self,
+        variables,
+        cfg=DEFAULT_CONFIG,
+        *,
+        batch_size: int = 64,
+        class_labels: list[str] | None = None,
+        mesh=None,
+        decode_workers: int | None = None,
+    ):
+        self.variables = variables
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.class_labels = class_labels or CLASS_LABELS
+        self.mesh = mesh
+        self.decode_workers = decode_workers or min(32, (os.cpu_count() or 8) * 2)
+
+        def _predict(variables, x_uint8_bgr):
+            logits = forward(variables, normalize_bgr_uint8(x_uint8_bgr), cfg)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.argmax(probs, axis=-1), probs
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._predict = jax.jit(
+                _predict,
+                in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))),
+            )
+        else:
+            self._predict = jax.jit(_predict)
+
+    # -- host preprocess ----------------------------------------------------
+    def _load(self, fpath: str) -> np.ndarray | None:
+        import cv2
+
+        im = cv2.imread(fpath)
+        if im is None:
+            return None
+        im = center_crop(im)
+        if im.shape[0] != self.cfg.im_side or im.shape[1] != self.cfg.im_side:
+            im = cv2.resize(im, (self.cfg.im_side, self.cfg.im_side))
+        return np.ascontiguousarray(im)
+
+    def predict_paths(self, fpaths: list[str]):
+        """Stream paths through device batches; returns (ids, confs, ok_mask).
+
+        Unreadable files get id -1 / conf 0. The final ragged batch is padded
+        to batch_size (static shapes for XLA) and trimmed after.
+        """
+        n = len(fpaths)
+        ids = np.full(n, -1, np.int64)
+        confs = np.zeros((n, len(self.class_labels)), np.float32)
+        bs = self.batch_size
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
+            # Pipeline: decode batch i+1 while batch i runs on device.
+            def decode_batch(start):
+                idxs = list(range(start, min(start + bs, n)))
+                ims = list(pool.map(self._load, [fpaths[i] for i in idxs]))
+                return idxs, ims
+
+            pending = decode_batch(0) if n else None
+            start = bs
+            while pending is not None:
+                idxs, ims = pending
+                pending = decode_batch(start) if start < n else None
+                start += bs
+                ok = [i for i, im in zip(idxs, ims) if im is not None]
+                kept = [im for im in ims if im is not None]
+                if not kept:
+                    continue
+                batch = np.zeros((bs, self.cfg.im_side, self.cfg.im_side, 3), np.uint8)
+                batch[: len(kept)] = np.stack(kept)
+                pred, probs = self._predict(self.variables, batch)
+                pred = np.asarray(pred)[: len(kept)]
+                probs = np.asarray(probs)[: len(kept)]
+                ids[ok] = pred
+                confs[ok] = probs
+        return ids, confs, ids >= 0
+
+
+def classify_im_dir(
+    classifier: RoomNetClassifier,
+    imgs_dir: str,
+    overlay: bool = True,
+    *,
+    out_dir: str | None = None,
+    progress: bool = True,
+) -> str:
+    """Directory classification with xls + per-class dir outputs (infer.py:65-100)."""
+    import cv2
+
+    labels = classifier.class_labels
+    all_im_paths = sorted(glob(os.path.join(imgs_dir, "*")))
+    all_im_paths = [p for p in all_im_paths if os.path.isfile(p)]
+    out_dir = out_dir or (imgs_dir.rstrip(os.sep) + "_classified")
+    xl_fpath = out_dir + "_results.xls"
+    for lbl in labels:
+        force_makedir(os.path.join(out_dir, lbl))
+
+    ids, confs, ok = classifier.predict_paths(all_im_paths)
+
+    wb = Workbook()
+    sheet = wb.add_sheet("classification_results")
+    sheet.write(0, 0, "IMAGE_NAME")
+    sheet.write(0, 1, "PREDICTED_LABEL")
+    it = enumerate(all_im_paths)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(list(it))
+        except ImportError:
+            pass
+    for i, fpath in it:
+        if not ok[i]:
+            continue
+        pred_label = labels[int(ids[i])]
+        pred_conf = float(confs[i, int(ids[i])])
+        dst_dir = os.path.join(out_dir, pred_label)
+        fname = os.path.basename(fpath)
+        if overlay:
+            im = cv2.imread(fpath)
+            h, w = im.shape[:2]
+            # Same overlay text/placement as infer.py:89-92.
+            cv2.putText(im, "Predicted Class: " + pred_label,
+                        (int(0.5 * w), int(0.90 * h)), cv2.FONT_HERSHEY_SIMPLEX,
+                        (h / 720.0) * 0.85, (0, 255, 0), 1, cv2.LINE_AA)
+            cv2.putText(im, "Confidence: " + str(round(pred_conf * 100, 2)) + " %",
+                        (int(0.5 * w), int(0.95 * h)), cv2.FONT_HERSHEY_SIMPLEX,
+                        (h / 720.0) * 0.85, (255, 0, 0), 1, cv2.LINE_AA)
+            cv2.imwrite(os.path.join(dst_dir, fname), im)
+        else:
+            shutil.copy(fpath, dst_dir)
+        sheet.write(i + 1, 0, fname)
+        sheet.write(i + 1, 1, pred_label)
+        sheet.write(i + 1, 2, str(pred_conf))
+    wb.save(xl_fpath)
+    return xl_fpath
+
+
+def groundtruth_validation(classifier: RoomNetClassifier, list_fpath: str) -> dict:
+    """Re-score a labeled list file (reference infer.py:41-57, un-broken:
+    the reference's version crashes on a commented-out constant)."""
+    from roomnet_tpu.data.dataset import parse_list_line
+    from roomnet_tpu.train.metrics import make_stats_entry
+
+    with open(list_fpath) as f:
+        pairs = [parse_list_line(l) for l in f if l.strip()]
+    fpaths = [p for p, _ in pairs]
+    y_true = [c for _, c in pairs]
+    ids, _, ok = classifier.predict_paths(fpaths)
+    y_t = [t for t, o in zip(y_true, ok) if o]
+    y_p = [int(i) for i, o in zip(ids, ok) if o]
+    entry = make_stats_entry(0, y_t, y_p)
+    del entry["step"]
+    return entry

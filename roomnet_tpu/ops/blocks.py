@@ -1,0 +1,154 @@
+"""Functional building blocks with reference-exact op semantics.
+
+Parity-critical details (verified against the reference TF1 graph):
+  * Conv2D: 3x3, stride 1, VALID padding, **no bias**, ReLU6 applied as the
+    conv activation (so it precedes pooling) — reference network.py:184-186.
+  * AvgPool: VALID padding, window fully inside — reference network.py:189.
+  * BatchNorm: applied **after** activation+pool (unconventional order),
+    eps=1e-3 (tf.layers default) — reference network.py:193.
+  * Dense: no bias except final layer; ReLU6 applied unconditionally, even on
+    the logits layer — reference network.py:212-214 (logits are ReLU6-clipped).
+  * Dropout: inverted dropout with runtime rate after every conv/dense block
+    when enabled — reference network.py:204-206, 219-221.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "BNStats",
+    "conv2d_valid",
+    "relu6",
+    "avg_pool_valid",
+    "batch_norm",
+    "batch_norm_train",
+    "dense",
+    "dropout",
+]
+
+BN_EPS = 1e-3  # tf.layers.batch_normalization default (reference network.py:193)
+BN_MOMENTUM = 0.99  # moving-average momentum, tf.layers default
+
+
+class BNStats(NamedTuple):
+    """Batch statistics produced by a training-mode BN application."""
+
+    mean: jnp.ndarray
+    var: jnp.ndarray  # biased (used for normalization)
+    var_unbiased: jnp.ndarray  # Bessel-corrected (used for moving update)
+
+
+def relu6(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(x, 0.0, 6.0)
+
+
+def conv2d_valid(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    *,
+    stride: int = 1,
+    accum_dtype=None,
+) -> jnp.ndarray:
+    """NHWC x HWIO -> NHWC conv, VALID padding, no bias.
+
+    Precision.HIGHEST so f32 inputs use full f32 MXU passes (JAX's default
+    precision may decompose f32 matmuls into bf16 passes — parity-breaking).
+    bf16 inputs are unaffected (already single-pass).
+    """
+    if accum_dtype is None:
+        accum_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(x.dtype)
+
+
+def avg_pool_valid(x: jnp.ndarray, ksize: int, stride: int) -> jnp.ndarray:
+    """Average pool, VALID padding (window always fully inside the input)."""
+    # NOTE: init must be a concrete python scalar — a traced 0-array defeats
+    # the reduce-window-sum monoid pattern-match and kills reverse-mode
+    # autodiff on the TPU backend.
+    summed = jax.lax.reduce_window(
+        x,
+        0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0,
+        jax.lax.add,
+        window_dimensions=(1, ksize, ksize, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+    return summed / jnp.asarray(ksize * ksize, x.dtype)
+
+
+def batch_norm(x: jnp.ndarray, bn: dict, eps: float = BN_EPS) -> jnp.ndarray:
+    """Inference-mode BN using stored moving statistics.
+
+    Folded to a single multiply-add so XLA fuses it into the producer op.
+    """
+    inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + eps)
+    w = (bn["scale"].astype(jnp.float32) * inv).astype(x.dtype)
+    b = (
+        bn["bias"].astype(jnp.float32)
+        - bn["mean"].astype(jnp.float32) * bn["scale"].astype(jnp.float32) * inv
+    ).astype(x.dtype)
+    return x * w + b
+
+
+def batch_norm_train(
+    x: jnp.ndarray, bn: dict, eps: float = BN_EPS
+) -> tuple[jnp.ndarray, BNStats]:
+    """Training-mode BN: normalize with biased batch stats over all non-channel axes.
+
+    Matches `tf.layers.batch_normalization(training=True)` (reference
+    network.py:193 with compute_bn_mean_var=True). Returns batch stats so the
+    caller can fold the moving-average update (momentum 0.99).
+    """
+    axes = tuple(range(x.ndim - 1))
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axes)
+    var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+    var = jnp.maximum(var, 0.0)
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    bessel = n / max(n - 1, 1)
+    inv = jax.lax.rsqrt(var + eps)
+    w = (bn["scale"].astype(jnp.float32) * inv).astype(x.dtype)
+    b = (
+        bn["bias"].astype(jnp.float32)
+        - mean * bn["scale"].astype(jnp.float32) * inv
+    ).astype(x.dtype)
+    return x * w + b, BNStats(mean=mean, var=var, var_unbiased=var * bessel)
+
+
+def dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    y = jnp.dot(
+        x,
+        kernel.astype(x.dtype),
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def dropout(x: jnp.ndarray, rate: jnp.ndarray | float, rng: jax.Array) -> jnp.ndarray:
+    """Inverted dropout matching `tf.nn.dropout(rate=...)` (network.py:205).
+
+    `rate` may be a traced scalar (the reference feeds it at runtime,
+    network.py:54); rate == 0 is the identity by construction.
+    """
+    rate = jnp.asarray(rate, jnp.float32)
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    scale = jnp.where(keep > 0, 1.0 / jnp.maximum(keep, 1e-8), 0.0).astype(x.dtype)
+    return jnp.where(mask, x * scale, jnp.zeros((), x.dtype))

@@ -1,0 +1,124 @@
+"""Checkpoint manager with the reference's Saver semantics, natively.
+
+Reference behaviors preserved (network.py:77-126):
+  * keep-all: every save is retained (`max_to_keep=0`, network.py:80);
+  * names carry validation accuracy + step: ``roomnet--{acc}--{step}``
+    (network.py:98-102);
+  * resume-latest: load() with no path picks the max step by parsing
+    filenames (network.py:110-118);
+  * partial restore: training-mode restore can exclude the dense head so a
+    changed `flat_len` re-initializes the head (network.py:78, :242) —
+    here a `restore_head=False` flag;
+  * optimized-inference save strips optimizer state (network.py:94-97).
+
+Format: flat {path: ndarray} npz (schema.py) + json manifest; optimizer
+state (Adam m/v + step) rides in the same npz under ``opt/``-prefixed keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from glob import glob
+from typing import Any
+
+import jax
+import numpy as np
+
+from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, RoomNetConfig
+from roomnet_tpu.params import schema
+
+CKPT_RE = re.compile(r"roomnet--(?P<suffix>.*?)--(?P<step>\d+)\.npz$")
+
+
+class CheckpointStore:
+    def __init__(self, model_dir: str = "all_trained_models/trained_models"):
+        self.model_dir = model_dir
+        os.makedirs(model_dir, exist_ok=True)
+
+    def _path(self, step: int, suffix: str | None) -> str:
+        sfx = suffix if suffix is not None else "none"
+        return os.path.join(self.model_dir, f"roomnet--{sfx}--{step}.npz")
+
+    def save(
+        self,
+        variables: Any,
+        step: int,
+        *,
+        suffix: str | None = None,
+        opt_state_flat: dict[str, np.ndarray] | None = None,
+    ) -> str:
+        """Save variables (+ optional optimizer state). Keep-all semantics."""
+        flat = schema.flatten_variables(jax.device_get(variables))
+        if opt_state_flat:
+            for k, v in opt_state_flat.items():
+                flat[f"opt/{k}"] = np.asarray(v)
+        flat["meta/step"] = np.asarray(step, dtype=np.int64)
+        path = self._path(step, suffix)
+        np.savez(path, **flat)
+        return path
+
+    def latest_path(self) -> str | None:
+        """Max-step checkpoint in the dir, parsed from filenames (network.py:110-118)."""
+        paths = glob(os.path.join(self.model_dir, "roomnet--*--*.npz"))
+        best, best_step = None, -1
+        for p in paths:
+            m = CKPT_RE.search(os.path.basename(p))
+            if m and int(m.group("step")) > best_step:
+                best, best_step = p, int(m.group("step"))
+        return best
+
+    def load(
+        self,
+        path: str | None = None,
+        *,
+        cfg: RoomNetConfig = DEFAULT_CONFIG,
+        restore_head: bool = True,
+        with_opt_state: bool = False,
+    ):
+        """Load (variables, step[, opt_state_flat]); None path = resume latest.
+
+        restore_head=False drops ``dense/*`` tensors from the restore set —
+        the reference's `restore_excluded_vars` behavior (network.py:78) —
+        the caller merges over freshly initialized variables.
+        """
+        if path is None:
+            path = self.latest_path()
+            if path is None:
+                return None  # caller initializes randomly (network.py:112)
+        raw = dict(np.load(path))
+        step = int(raw.pop("meta/step", np.asarray(0)))
+        opt_flat = {k[len("opt/"):]: v for k, v in raw.items() if k.startswith("opt/")}
+        var_flat = {
+            k: v
+            for k, v in raw.items()
+            if not k.startswith("opt/") and not k.startswith("meta/")
+        }
+        if not restore_head:
+            var_flat = {k: v for k, v in var_flat.items() if not k.startswith("dense/")}
+            opt_flat = {}  # optimizer state is invalid with a fresh head
+        if with_opt_state:
+            return var_flat, step, opt_flat
+        return var_flat, step
+
+    def export_inference(self, variables: Any, out_path: str) -> str:
+        """Inference-optimized export: params only, no optimizer state
+        (reference `save()` in optimized mode, network.py:94-97)."""
+        flat = schema.flatten_variables(jax.device_get(variables))
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        np.savez(out_path, **flat)
+        manifest = {
+            "format": "roomnet_tpu_flat_npz_v1",
+            "num_params": int(sum(int(np.prod(v.shape)) for v in flat.values())),
+        }
+        with open(os.path.splitext(out_path)[0] + ".json", "w") as f:
+            json.dump(manifest, f, indent=2)
+        return out_path
+
+
+def merge_partial_restore(fresh_variables, restored_flat, cfg=DEFAULT_CONFIG):
+    """Overlay restored tensors onto a freshly-initialized variable tree."""
+    flat = schema.flatten_variables(jax.device_get(fresh_variables))
+    flat.update(restored_flat)
+    return schema.unflatten_variables(flat, cfg)

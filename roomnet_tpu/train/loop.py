@@ -1,0 +1,265 @@
+"""Training driver: the reference train.py main loop, TPU-native.
+
+Preserved behaviors (reference train.py:115-158):
+  * warm/cold dataset-list handling (`extract_fpaths`);
+  * async feeders for train (shuffle+crop+augment) and val (plain);
+  * every SAVE_FREQ steps (after the first): full val epoch, accuracy +
+    per-class P/R/F, checkpoint named with the accuracy, stats appended to
+    all_train_stats.json (same schema);
+  * resume-latest on start; step counter restored.
+
+New capabilities:
+  * declarative **phase schedule** — the reference README curriculum
+    (batch 8->32->40->45, dropout toggling, BN freeze; README.md:34-38) was
+    executed by hand-editing constants between runs; here it's data;
+  * data-parallel execution over a jax.sharding mesh (batch sharded on
+    'data', params replicated; XLA all-reduces the grads);
+  * device prefetch of host batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from roomnet_tpu.data.dataset import extract_fpaths
+from roomnet_tpu.data.loader import TrainFeeder
+from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, RoomNetConfig, init_variables
+from roomnet_tpu.params import schema
+from roomnet_tpu.params.checkpoint import CheckpointStore, merge_partial_restore
+from roomnet_tpu.train.metrics import make_stats_entry
+from roomnet_tpu.train.optimizer import flatten_opt_state, unflatten_opt_state
+from roomnet_tpu.train.step import TrainHParams, TrainState, init_train_state, make_train_step
+
+
+@dataclasses.dataclass(frozen=True)
+class Phase:
+    """One leg of the training curriculum."""
+
+    until_step: int  # phase is active while global step < until_step
+    batch_size: int = 45
+    dropout_enabled: bool = False
+    dropout_rate: float = 0.35
+    compute_bn_mean_var: bool = False
+    update_bn_moving: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Reference train.py:26-41 constants, typed; plus phases + mesh knobs."""
+
+    data_dir: str = "./data/REI-Dataset"
+    train_list_fpath: str = "train_list.txt"
+    val_list_fpath: str = "val_list.txt"
+    stats_fpath: str = "all_train_stats.json"
+    model_dir: str = "all_trained_models/trained_models"
+    img_side: int = 224
+    train_steps: int = 100_000
+    save_freq: int = 10
+    learn_rate: float = 2e-4
+    l2_coeff: float = 6e-2
+    val_batch_size: int = 64
+    batches_per_queue: int = 40
+    seed: int = 0
+    restore_head: bool = True  # False = reference's fresh-dense-head restore
+    phases: tuple[Phase, ...] = (Phase(until_step=1 << 62),)
+
+    # README.md:34-38 curriculum as data (approximate step boundaries):
+    @staticmethod
+    def reference_curriculum(total_steps: int = 160_000) -> tuple[Phase, ...]:
+        q = total_steps // 4
+        return (
+            Phase(until_step=q, batch_size=8, compute_bn_mean_var=True,
+                  update_bn_moving=True),
+            Phase(until_step=2 * q, batch_size=32, compute_bn_mean_var=True,
+                  update_bn_moving=True, dropout_enabled=True, dropout_rate=0.3),
+            Phase(until_step=3 * q, batch_size=40, compute_bn_mean_var=True,
+                  update_bn_moving=False, dropout_enabled=True, dropout_rate=0.3),
+            Phase(until_step=1 << 62, batch_size=45, compute_bn_mean_var=False,
+                  update_bn_moving=False),
+        )
+
+
+def phase_at(phases: tuple[Phase, ...], step: int) -> Phase:
+    for ph in phases:
+        if step < ph.until_step:
+            return ph
+    return phases[-1]
+
+
+class Trainer:
+    """Owns feeders, compiled steps (one per phase signature), checkpoints."""
+
+    def __init__(
+        self,
+        tc: TrainConfig = TrainConfig(),
+        cfg: RoomNetConfig = DEFAULT_CONFIG,
+        mesh=None,
+    ):
+        self.tc = tc
+        self.cfg = cfg
+        self.mesh = mesh
+        self.store = CheckpointStore(tc.model_dir)
+        self._compiled: dict = {}
+        self._infer_fn = None
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, rng: jax.Array | None = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.tc.seed)
+        variables = init_variables(rng, self.cfg)
+        restored = self.store.load(
+            cfg=self.cfg, restore_head=self.tc.restore_head, with_opt_state=True
+        )
+        hp = self._hp(phase_at(self.tc.phases, 0))
+        if restored is None:
+            print("No model found to restore from, initializing random weights")
+            return init_train_state(variables, hp)
+        var_flat, step, opt_flat = restored
+        variables = merge_partial_restore(variables, var_flat, self.cfg)
+        state = init_train_state(variables, hp)
+        if opt_flat:
+            state = state._replace(opt_state=unflatten_opt_state(opt_flat))
+        state = state._replace(step=jax.numpy.asarray(step, jax.numpy.int32))
+        print(f"Model restored at step {step}")
+        return state
+
+    def _hp(self, ph: Phase) -> TrainHParams:
+        return TrainHParams(
+            learn_rate=self.tc.learn_rate,
+            num_steps=self.tc.train_steps,
+            l2_coeff=self.tc.l2_coeff,
+            dropout_enabled=ph.dropout_enabled,
+            dropout_rate=ph.dropout_rate,
+            compute_bn_mean_var=ph.compute_bn_mean_var,
+            update_bn_moving=ph.update_bn_moving,
+        )
+
+    # -- compiled fns -------------------------------------------------------
+    def _step_fn(self, ph: Phase):
+        key = (ph.dropout_enabled, ph.dropout_rate, ph.compute_bn_mean_var,
+               ph.update_bn_moving)
+        if key not in self._compiled:
+            fn = make_train_step(self._hp(ph), self.cfg)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                data = NamedSharding(self.mesh, P("data"))
+                repl = NamedSharding(self.mesh, P())
+                fn = jax.jit(
+                    fn,
+                    in_shardings=(None, data, data, None),
+                    out_shardings=None,
+                    donate_argnums=(0,),
+                )
+                del repl
+            else:
+                fn = jax.jit(fn, donate_argnums=(0,))
+            self._compiled[key] = fn
+        return self._compiled[key]
+
+    def infer_fn(self):
+        if self._infer_fn is None:
+            from roomnet_tpu.models.roomnet import forward, normalize_bgr_uint8
+
+            def _infer(train_vars, frozen_vars, x_uint8):
+                variables = schema.unflatten_jax({**train_vars, **frozen_vars}, self.cfg)
+                logits = forward(variables, normalize_bgr_uint8(x_uint8), self.cfg)
+                return jax.numpy.argmax(logits, axis=-1)
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._infer_fn = jax.jit(
+                    _infer, in_shardings=(None, None, NamedSharding(self.mesh, P("data")))
+                )
+            else:
+                self._infer_fn = jax.jit(_infer)
+        return self._infer_fn
+
+    # -- validation ---------------------------------------------------------
+    def run_validation(self, state: TrainState, val_reader: TrainFeeder):
+        """Full val epoch exactly like reference train.py:135-145 (the last
+        dequeued batch — first of the next epoch — is trimmed)."""
+        infer = self.infer_fn()
+        x_val, y_val = val_reader.dequeue()
+        y_vals = list(y_val)
+        y_preds: list[int] = []
+        while not val_reader.train_state["previous_epoch_done"]:
+            y_pred = infer(state.train_vars, state.frozen_vars, x_val)
+            y_preds += list(np.asarray(y_pred))
+            x_val, y_val = val_reader.dequeue()
+            y_vals += list(y_val)
+        y_vals = y_vals[: len(y_preds)]
+        return y_vals, y_preds
+
+    # -- main loop ------------------------------------------------------------
+    def train(self, total_steps: int | None = None, log_every: int = 1):
+        tc = self.tc
+        train_txt, val_txt = extract_fpaths(
+            tc.data_dir, tc.train_list_fpath, tc.val_list_fpath, seed=tc.seed
+        )
+        state = self.init_state()
+        start_step = int(state.step)
+        total_steps = total_steps or tc.train_steps
+
+        all_stats = []
+        if os.path.isfile(tc.stats_fpath):
+            with open(tc.stats_fpath) as f:
+                all_stats = json.load(f)
+
+        ph = phase_at(tc.phases, start_step)
+        train_reader = TrainFeeder(
+            train_txt, batch_size=ph.batch_size, batches_per_queue=tc.batches_per_queue,
+            shuffle=True, im_side=tc.img_side, random_crop=True, preprocess=True,
+            seed=tc.seed,
+        )
+        val_reader = TrainFeeder(
+            val_txt, batch_size=tc.val_batch_size, batches_per_queue=10,
+            shuffle=False, im_side=tc.img_side, random_crop=False, preprocess=False,
+            seed=tc.seed,
+        )
+        rng = jax.random.PRNGKey(tc.seed + 1)
+        try:
+            for it in range(start_step, start_step + total_steps):
+                new_ph = phase_at(tc.phases, it)
+                if new_ph.batch_size != ph.batch_size:
+                    train_reader.close()
+                    train_reader = TrainFeeder(
+                        train_txt, batch_size=new_ph.batch_size,
+                        batches_per_queue=tc.batches_per_queue, shuffle=True,
+                        im_side=tc.img_side, random_crop=True, preprocess=True,
+                        seed=tc.seed,
+                    )
+                ph = new_ph
+                if it % tc.save_freq == 0 and it > start_step:
+                    y_vals, y_preds = self.run_validation(state, val_reader)
+                    entry = make_stats_entry(int(state.step), y_vals, y_preds)
+                    self.store.save(
+                        state.variables,
+                        int(state.step),
+                        suffix=str(entry["accuracy"]),
+                        opt_state_flat=flatten_opt_state(state.opt_state),
+                    )
+                    all_stats.append(entry)
+                    with open(tc.stats_fpath, "w") as f:
+                        json.dump(all_stats, f, indent=4, sort_keys=True)
+                    print(f"Validated at step {state.step}: acc {entry['accuracy']:.4f}")
+                x, y = train_reader.dequeue()
+                rng, sub = jax.random.split(rng)
+                t0 = time.perf_counter()
+                state, metrics = self._step_fn(ph)(state, x, y, sub)
+                if it % log_every == 0:
+                    loss = float(metrics["loss"])
+                    lr = float(metrics["learn_rate"])
+                    dt = time.perf_counter() - t0
+                    print(f"Step {int(state.step)} loss = {loss:.5f} "
+                          f"learn_rate = {lr:.3e} ({dt * 1e3:.1f} ms)")
+        finally:
+            train_reader.close()
+            val_reader.close()
+        return state

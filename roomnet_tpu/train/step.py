@@ -1,0 +1,158 @@
+"""Loss + train step: sparse CE on ReLU6-clipped logits, L2, TF1 Adam.
+
+Reference loss graph (network.py:56-69):
+  * `sparse_softmax_cross_entropy_with_logits` on the (ReLU6-clipped) logits;
+  * L2 = sum over *all* trainable vars (incl. BN gamma/beta) of
+    ``l2_coeff * 0.5 * ||v||^2`` (`tf.nn.l2_loss`), added to the mean CE;
+  * Adam on the exponentially-decayed LR; BN moving updates ride with the
+    step when enabled (`update_batchnorm_means_vars`, network.py:64-67).
+
+The step is a pure function over a TrainState of flat {path: array} dicts,
+jittable on one chip and pjit-shardable over a mesh (batch on 'data',
+params replicated — XLA inserts the gradient all-reduce).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from roomnet_tpu.models.roomnet import (
+    DEFAULT_CONFIG,
+    RoomNetConfig,
+    forward,
+    normalize_bgr_uint8,
+    update_moving_stats,
+)
+from roomnet_tpu.params import schema
+from roomnet_tpu.train.optimizer import TF1AdamState, exponential_decay, tf1_adam
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHParams:
+    """Reference train.py:26-41 constants as a typed config."""
+
+    learn_rate: float = 2e-4
+    num_steps: int = 100_000
+    l2_coeff: float = 6e-2
+    dropout_enabled: bool = False
+    dropout_rate: float = 0.35
+    compute_bn_mean_var: bool = False  # BN uses batch stats when True
+    update_bn_moving: bool = False  # fold moving-average updates when True
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray  # int32 global step (reference step_ph)
+    train_vars: dict[str, Any]  # trainable flat dict
+    frozen_vars: dict[str, Any]  # BN moving stats flat dict
+    opt_state: TF1AdamState
+
+    @property
+    def variables(self):
+        return schema.unflatten_jax({**self.train_vars, **self.frozen_vars})
+
+
+def init_train_state(variables, hp: TrainHParams = TrainHParams()) -> TrainState:
+    flat = schema.flatten_jax(variables)
+    flat = {k: jnp.asarray(v) for k, v in flat.items()}
+    train_vars, frozen_vars = schema.partition_flat(flat)
+    opt = tf1_adam(
+        exponential_decay(hp.learn_rate, hp.num_steps),
+        hp.adam_b1,
+        hp.adam_b2,
+        hp.adam_eps,
+    )
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        train_vars=train_vars,
+        frozen_vars=frozen_vars,
+        opt_state=opt.init(train_vars),
+    )
+
+
+def loss_fn(
+    train_vars,
+    frozen_vars,
+    x_norm,
+    y,
+    hp: TrainHParams,
+    cfg: RoomNetConfig,
+    rng,
+):
+    variables = schema.unflatten_jax({**train_vars, **frozen_vars}, cfg)
+    dropout_rate = hp.dropout_rate if hp.dropout_enabled else None
+    out = forward(
+        variables,
+        x_norm,
+        cfg,
+        use_batch_stats=hp.compute_bn_mean_var,
+        collect_batch_stats=hp.compute_bn_mean_var and hp.update_bn_moving,
+        dropout_rate=dropout_rate,
+        rng=rng if hp.dropout_enabled else None,
+    )
+    logits, bn_stats = out if isinstance(out, tuple) else (out, None)
+    labels_1hot = jax.nn.one_hot(y, cfg.num_classes, dtype=logits.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(labels_1hot * logp, axis=-1)
+    l2 = sum(
+        hp.l2_coeff * 0.5 * jnp.sum(jnp.square(v.astype(jnp.float32)))
+        for v in train_vars.values()
+    )
+    loss = jnp.mean(ce) + l2
+    return loss, (logits, bn_stats)
+
+
+def make_train_step(
+    hp: TrainHParams = TrainHParams(), cfg: RoomNetConfig = DEFAULT_CONFIG
+):
+    """Returns step(state, x_bgr_uint8, y, rng) -> (state, metrics).
+
+    Input is raw uint8 BGR — normalization (network.py:159) runs on device,
+    fused into the forward by XLA.
+    """
+    opt = tf1_adam(
+        exponential_decay(hp.learn_rate, hp.num_steps),
+        hp.adam_b1,
+        hp.adam_b2,
+        hp.adam_eps,
+    )
+
+    def step_fn(state: TrainState, x_bgr_uint8, y, rng):
+        x_norm = normalize_bgr_uint8(x_bgr_uint8)
+        (loss, (logits, bn_stats)), grads = jax.value_and_grad(
+            loss_fn, argnums=0, has_aux=True
+        )(state.train_vars, state.frozen_vars, x_norm, y, hp, cfg, rng)
+        updates, new_opt_state = opt.update(grads, state.opt_state)
+        new_train_vars = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.train_vars, updates
+        )
+        frozen_vars = state.frozen_vars
+        if bn_stats:
+            # Fold moving-average updates (momentum 0.99), like the UPDATE_OPS
+            # control dependency in the reference (network.py:64-67).
+            merged = schema.unflatten_jax({**state.train_vars, **frozen_vars}, cfg)
+            updated = update_moving_stats(merged, bn_stats, cfg.bn_momentum)
+            _, frozen_vars = schema.partition_flat(schema.flatten_jax(updated))
+        lr = exponential_decay(hp.learn_rate, hp.num_steps)(state.step)
+        metrics = {
+            "loss": loss,
+            "learn_rate": lr,
+            "accuracy": jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32)),
+        }
+        return (
+            TrainState(
+                step=state.step + 1,
+                train_vars=new_train_vars,
+                frozen_vars=frozen_vars,
+                opt_state=new_opt_state,
+            ),
+            metrics,
+        )
+
+    return step_fn

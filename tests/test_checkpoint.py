@@ -1,0 +1,85 @@
+"""Checkpoint store semantics: keep-all, acc-named, resume-latest, partial restore."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from roomnet_tpu.models.roomnet import init_variables, param_count
+from roomnet_tpu.params import schema
+from roomnet_tpu.params.checkpoint import CheckpointStore, merge_partial_restore
+from tests.tiny import TINY
+
+
+@pytest.fixture
+def variables():
+    return init_variables(jax.random.PRNGKey(0), TINY)
+
+
+def test_save_load_roundtrip(tmp_path, variables):
+    store = CheckpointStore(str(tmp_path))
+    store.save(variables, 42, suffix="0.91")
+    loaded_flat, step = store.load(cfg=TINY)
+    assert step == 42
+    want = schema.flatten_variables(variables)
+    assert set(loaded_flat) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(loaded_flat[k], want[k])
+
+
+def test_keep_all_and_resume_latest(tmp_path, variables):
+    """Every save retained; load() picks max step from filenames
+    (reference network.py:80, :110-118)."""
+    store = CheckpointStore(str(tmp_path))
+    for step, acc in [(10, "0.5"), (30, "0.9"), (20, "0.7")]:
+        store.save(variables, step, suffix=acc)
+    assert len(os.listdir(tmp_path)) == 3  # keep-all
+    assert "--0.9--30" in store.latest_path()
+    _, step = store.load(cfg=TINY)
+    assert step == 30
+
+
+def test_load_empty_dir_returns_none(tmp_path):
+    assert CheckpointStore(str(tmp_path)).load(cfg=TINY) is None
+
+
+def test_partial_restore_excludes_dense_head(tmp_path, variables):
+    """restore_head=False keeps the checkpoint's conv tower but a fresh
+    dense head (reference network.py:78, :242 restore_excluded_vars)."""
+    store = CheckpointStore(str(tmp_path))
+    store.save(variables, 5)
+    fresh = init_variables(jax.random.PRNGKey(9), TINY)
+    restored_flat, _ = store.load(cfg=TINY, restore_head=False)
+    merged = merge_partial_restore(fresh, restored_flat, TINY)
+    # Conv tower == checkpoint; dense head == fresh init.
+    np.testing.assert_array_equal(
+        np.asarray(merged["blocks"][0]["conv"][0]),
+        np.asarray(variables["blocks"][0]["conv"][0]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["dense"][0]["kernel"]),
+        np.asarray(fresh["dense"][0]["kernel"]),
+    )
+    assert not np.allclose(
+        np.asarray(merged["dense"][0]["kernel"]),
+        np.asarray(variables["dense"][0]["kernel"]),
+    )
+
+
+def test_opt_state_rides_along(tmp_path, variables):
+    store = CheckpointStore(str(tmp_path))
+    opt_flat = {"count": np.asarray(3), "mu/dense/0/kernel": np.ones((4, 2))}
+    store.save(variables, 7, opt_state_flat=opt_flat)
+    _, step, loaded_opt = store.load(cfg=TINY, with_opt_state=True)
+    assert step == 7
+    np.testing.assert_array_equal(loaded_opt["count"], 3)
+    np.testing.assert_array_equal(loaded_opt["mu/dense/0/kernel"], np.ones((4, 2)))
+
+
+def test_export_inference_strips_opt_state(tmp_path, variables):
+    store = CheckpointStore(str(tmp_path))
+    out = store.export_inference(variables, str(tmp_path / "final" / "roomnet.npz"))
+    raw = dict(np.load(out))
+    assert not any(k.startswith("opt/") for k in raw)
+    assert param_count(schema.unflatten_variables(raw, TINY)) == param_count(variables)

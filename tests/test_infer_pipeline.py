@@ -1,0 +1,117 @@
+"""Directory-inference pipeline on the tiny config: batching, padding,
+unreadable files, xls/class-dir outputs (reference infer.py:65-100 parity)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from roomnet_tpu.infer.classify import (
+    RoomNetClassifier,
+    classify_im_dir,
+    groundtruth_validation,
+)
+from roomnet_tpu.models.roomnet import init_variables
+from roomnet_tpu.utils.xls import read_labels_biff2
+from tests.tiny import TINY
+
+cv2 = pytest.importorskip("cv2")
+
+LABELS4 = ["A", "B", "C", "D"]
+
+
+@pytest.fixture(scope="module")
+def classifier():
+    variables = init_variables(jax.random.PRNGKey(0), TINY)
+    return RoomNetClassifier(
+        variables, TINY, batch_size=4, class_labels=LABELS4
+    )
+
+
+def _write_images(d, n, side=48):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(n):
+        p = os.path.join(d, f"photo {i}.png")
+        cv2.imwrite(p, rng.randint(0, 255, (side + i, side, 3), np.uint8))
+        paths.append(p)
+    return paths
+
+
+def test_padding_invariance(classifier, tmp_path):
+    """Predictions must not depend on batch padding: 6 images through
+    batch_size 4 (one ragged batch) == one-by-one."""
+    paths = _write_images(str(tmp_path / "imgs"), 6)
+    ids_batch, confs_batch, ok = classifier.predict_paths(paths)
+    assert ok.all()
+    singles = [classifier.predict_paths([p]) for p in paths]
+    for i, (sid, sconf, _) in enumerate(singles):
+        assert ids_batch[i] == sid[0]
+        np.testing.assert_allclose(confs_batch[i], sconf[0], rtol=2e-5, atol=2e-6)
+
+
+def test_unreadable_files_skipped(classifier, tmp_path):
+    d = str(tmp_path / "mix")
+    paths = _write_images(d, 3)
+    bad = os.path.join(d, "corrupt.jpg")
+    with open(bad, "w") as f:
+        f.write("not an image")
+    ids, confs, ok = classifier.predict_paths(paths + [bad])
+    assert ok[:3].all() and not ok[3]
+    assert ids[3] == -1
+
+
+def test_classify_im_dir_outputs(classifier, tmp_path):
+    d = str(tmp_path / "imgs")
+    _write_images(d, 5)
+    xl = classify_im_dir(classifier, d, overlay=False, progress=False)
+    assert os.path.exists(xl)
+    cells = read_labels_biff2(xl)
+    assert cells[(0, 0)] == "IMAGE_NAME" and cells[(0, 1)] == "PREDICTED_LABEL"
+    # every image appears in the sheet and landed in exactly one class dir
+    out_dir = d.rstrip(os.sep) + "_classified"
+    binned = []
+    for lbl in LABELS4:
+        assert os.path.isdir(os.path.join(out_dir, lbl))
+        binned += os.listdir(os.path.join(out_dir, lbl))
+    assert sorted(binned) == sorted(f"photo {i}.png" for i in range(5))
+    rows = {cells[(r, 0)]: cells[(r, 1)] for (r, c) in cells if r > 0 and c == 0}
+    assert len(rows) == 5
+    for fname, lbl in rows.items():
+        assert fname in binned and lbl in LABELS4
+    # confidence column parses as float in (0, 1]
+    confs = [float(cells[(r, 2)]) for (r, c) in cells if r > 0 and c == 2]
+    assert all(0 < v <= 1 for v in confs)
+
+
+def test_classify_im_dir_overlay_writes_annotated_copies(classifier, tmp_path):
+    d = str(tmp_path / "imgs")
+    paths = _write_images(d, 2, side=64)
+    classify_im_dir(classifier, d, overlay=True, progress=False)
+    out_dir = d.rstrip(os.sep) + "_classified"
+    found = 0
+    for lbl in LABELS4:
+        for f in os.listdir(os.path.join(out_dir, lbl)):
+            im = cv2.imread(os.path.join(out_dir, lbl, f))
+            assert im is not None
+            src = cv2.imread(os.path.join(d, f))
+            assert im.shape == src.shape
+            found += 1
+            # overlay modifies pixels (text drawn)
+            assert not np.array_equal(im, src)
+    assert found == 2
+
+
+def test_groundtruth_validation(classifier, tmp_path):
+    d = str(tmp_path / "imgs")
+    paths = _write_images(d, 4)
+    lst = tmp_path / "list.txt"
+    ids, _, _ = classifier.predict_paths(paths)
+    with open(lst, "w") as f:
+        for p, i in zip(paths, ids):
+            f.write(f"{p} {int(i)}\n")
+    stats = groundtruth_validation(classifier, str(lst))
+    assert stats["accuracy"] == 1.0
+    assert set(stats) == {"accuracy", "precisions", "recalls", "f-scores"}

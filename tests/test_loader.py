@@ -1,0 +1,128 @@
+"""Data pipeline: crops, feeder epoch accounting, determinism, edge cases."""
+
+import os
+
+import numpy as np
+import pytest
+
+from roomnet_tpu.data.dataset import extract_fpaths, parse_list_line
+from roomnet_tpu.data.loader import TrainFeeder, center_crop, random_sliding_square_crop
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_imgs(root, cls, n, hw=(40, 60)):
+    d = root / cls
+    d.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i in range(n):
+        p = str(d / f"im {i}.png")  # space in name: list format must survive
+        cv2.imwrite(p, np.full((*hw, 3), i * 10 % 255, np.uint8))
+        paths.append(p)
+    return paths
+
+
+def test_center_crop_geometry():
+    """Same offset math as reference generator.py:69-78."""
+    im = np.arange(5 * 9 * 3).reshape(5, 9, 3).astype(np.uint8)
+    c = center_crop(im)
+    assert c.shape == (5, 5, 3)
+    np.testing.assert_array_equal(c, im[:, 2:7])
+    im2 = np.arange(9 * 5 * 3).reshape(9, 5, 3).astype(np.uint8)
+    assert center_crop(im2).shape == (5, 5, 3)
+    sq = np.zeros((4, 4, 3), np.uint8)
+    np.testing.assert_array_equal(center_crop(sq), sq)
+
+
+def test_random_sliding_crop_is_square_and_in_bounds():
+    rng = np.random.RandomState(0)
+    im = np.arange(7 * 12 * 3).reshape(7, 12, 3).astype(np.uint8)
+    for _ in range(20):
+        c = random_sliding_square_crop(im, rng)
+        assert c.shape == (7, 7, 3)
+    im_t = im.transpose(1, 0, 2)
+    for _ in range(20):
+        assert random_sliding_square_crop(im_t, rng).shape == (7, 7, 3)
+
+
+def test_extract_fpaths_balanced_split(tmp_path):
+    """Per-class train size = 90% of smallest class (reference train.py:84-88);
+    unreadable images dropped up front (train.py:44-51)."""
+    data = tmp_path / "data"
+    _write_imgs(data, "Kitchen", 10)
+    _write_imgs(data, "Bedroom", 20)
+    bad = data / "Kitchen" / "broken.jpg"
+    bad.write_text("nope")
+    train_txt, val_txt = extract_fpaths(
+        str(data),
+        str(tmp_path / "train.txt"),
+        str(tmp_path / "val.txt"),
+        str(tmp_path / "labels.json"),
+        seed=0,
+    )
+    # smallest class = 10 readable -> train 9/class -> 18 total
+    assert len(train_txt) == 18
+    pairs = [parse_list_line(l) for l in train_txt]
+    assert all(os.path.exists(p) for p, _ in pairs)
+    labels = [c for _, c in pairs]
+    assert labels.count(0) == 9 and labels.count(1) == 9
+    assert not any("broken" in p for p, _ in pairs)
+    # warm path: second call reuses files verbatim
+    train2, _ = extract_fpaths(
+        str(data), str(tmp_path / "train.txt"), str(tmp_path / "val.txt"),
+        str(tmp_path / "labels.json"), seed=123,
+    )
+    assert train2 == train_txt
+
+
+def test_feeder_epoch_accounting_and_shapes(tmp_path):
+    paths = _write_imgs(tmp_path / "d", "c0", 7)
+    lines = [f"{p} 0\n" for p in paths]
+    with TrainFeeder(lines, batch_size=3, im_side=16, shuffle=False,
+                     random_crop=False, preprocess=False, seed=1) as f:
+        assert f.batches_per_epoch == 2  # 7 // 3, tail dropped
+        x, y = f.dequeue()
+        assert x.shape == (3, 16, 16, 3) and x.dtype == np.uint8
+        assert y.shape == (3,)
+        assert f.train_state["epoch"] == 1 and f.train_state["batch"] == 1
+        assert not f.train_state["previous_epoch_done"]
+        f.dequeue()
+        # first batch of epoch 2 flags the previous epoch done
+        f.dequeue()
+        assert f.train_state["previous_epoch_done"]
+        assert f.train_state["epoch"] == 2
+
+
+def test_feeder_deterministic_given_seed(tmp_path):
+    paths = _write_imgs(tmp_path / "d", "c0", 6, hw=(50, 30))
+    lines = [f"{p} 0\n" for p in paths]
+
+    def first_two(seed):
+        with TrainFeeder(lines, batch_size=3, im_side=16, shuffle=True,
+                         random_crop=True, preprocess=True, seed=seed) as f:
+            a = f.dequeue()
+            b = f.dequeue()
+            return a, b
+
+    (a1, _), (b1, _) = first_two(7)
+    (a2, _), (b2, _) = first_two(7)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+    (a3, _), _ = first_two(8)
+    assert not np.array_equal(a1, a3)
+
+
+def test_feeder_skips_unreadable(tmp_path):
+    paths = _write_imgs(tmp_path / "d", "c0", 4)
+    bad = tmp_path / "d" / "c0" / "bad.jpg"
+    bad.write_text("x")
+    lines = [f"{p} 0\n" for p in paths[:2]] + [f"{bad} 0\n", f"{paths[2]} 0\n"]
+    with TrainFeeder(lines, batch_size=4, im_side=8, shuffle=False,
+                     random_crop=False, preprocess=False) as f:
+        x, y = f.dequeue()
+        assert x.shape[0] == 3  # bad image dropped, batch shrinks
+
+
+def test_parse_list_line_with_spaces():
+    p, c = parse_list_line("C:\\data\\Living Room\\img 1.jpg 5\n")
+    assert p == "C:\\data\\Living Room\\img 1.jpg" and c == 5

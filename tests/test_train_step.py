@@ -1,0 +1,131 @@
+"""Train-step mechanics on the tiny config: loss descent, BN modes, dropout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roomnet_tpu.models.roomnet import forward, init_variables
+from roomnet_tpu.params import schema
+from roomnet_tpu.train.step import (
+    TrainHParams,
+    init_train_state,
+    loss_fn,
+    make_train_step,
+)
+from tests.tiny import TINY
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, size=(8, 32, 32, 3), dtype=np.uint8)
+    y = rng.randint(0, TINY.num_classes, size=(8,), dtype=np.int32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_loss_decreases_on_fixed_batch(batch):
+    hp = TrainHParams(learn_rate=3e-3, l2_coeff=1e-4, num_steps=1000)
+    state = init_train_state(init_variables(jax.random.PRNGKey(0), TINY), hp)
+    step = jax.jit(make_train_step(hp, TINY))
+    x, y = batch
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, x, y, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+    assert int(state.step) == 30
+
+
+def test_l2_includes_bn_scale_bias(batch):
+    """L2 covers ALL trainables incl. BN gamma/beta (reference network.py:58)."""
+    hp = TrainHParams(l2_coeff=1.0)
+    variables = init_variables(jax.random.PRNGKey(0), TINY)
+    state = init_train_state(variables, hp)
+    x, y = batch
+    from roomnet_tpu.models.roomnet import normalize_bgr_uint8
+
+    loss, _ = loss_fn(state.train_vars, state.frozen_vars,
+                      normalize_bgr_uint8(x), y, hp, TINY, None)
+    # l2 of gamma=1 vectors alone exceeds CE scale: 0.5 * sum(1^2) over BN dims
+    n_bn_scale = sum(v.size for k, v in state.train_vars.items() if k.endswith("scale"))
+    assert float(loss) > 0.5 * n_bn_scale  # CE >= 0 and other params add more
+
+
+def test_frozen_bn_stats_unchanged_without_update(batch):
+    hp = TrainHParams(compute_bn_mean_var=False, update_bn_moving=False)
+    state = init_train_state(init_variables(jax.random.PRNGKey(0), TINY), hp)
+    step = jax.jit(make_train_step(hp, TINY))
+    x, y = batch
+    before = {k: np.asarray(v) for k, v in state.frozen_vars.items()}
+    state, _ = step(state, x, y, jax.random.PRNGKey(0))
+    for k, v in state.frozen_vars.items():
+        np.testing.assert_array_equal(before[k], np.asarray(v))
+
+
+def test_bn_moving_stats_update_when_enabled(batch):
+    hp = TrainHParams(compute_bn_mean_var=True, update_bn_moving=True)
+    state = init_train_state(init_variables(jax.random.PRNGKey(0), TINY), hp)
+    step = jax.jit(make_train_step(hp, TINY))
+    x, y = batch
+    before_mean = np.asarray(state.frozen_vars["blocks/0/bn/0/mean"])
+    state, _ = step(state, x, y, jax.random.PRNGKey(0))
+    after_mean = np.asarray(state.frozen_vars["blocks/0/bn/0/mean"])
+    assert not np.allclose(before_mean, after_mean)
+    # momentum 0.99: single step moves moving stats by (1-0.99)*batch_mean
+    assert np.abs(after_mean - before_mean).max() < np.abs(after_mean).max() + 1.0
+
+
+def test_batch_stats_mode_changes_forward(batch):
+    variables = init_variables(jax.random.PRNGKey(0), TINY)
+    x, _ = batch
+    from roomnet_tpu.models.roomnet import normalize_bgr_uint8
+
+    xn = normalize_bgr_uint8(x)
+    frozen = forward(variables, xn, TINY, use_batch_stats=False)
+    batchstat = forward(variables, xn, TINY, use_batch_stats=True)
+    assert not np.allclose(np.asarray(frozen), np.asarray(batchstat))
+
+
+def test_dropout_zero_rate_is_identity(batch):
+    variables = init_variables(jax.random.PRNGKey(0), TINY)
+    x, _ = batch
+    from roomnet_tpu.models.roomnet import normalize_bgr_uint8
+
+    xn = normalize_bgr_uint8(x)
+    plain = forward(variables, xn, TINY)
+    with_dropout0 = forward(
+        variables, xn, TINY, dropout_rate=0.0, rng=jax.random.PRNGKey(3)
+    )
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(with_dropout0), atol=1e-6)
+
+
+def test_dropout_active_changes_output_and_is_seeded(batch):
+    variables = init_variables(jax.random.PRNGKey(0), TINY)
+    x, _ = batch
+    from roomnet_tpu.models.roomnet import normalize_bgr_uint8
+
+    xn = normalize_bgr_uint8(x)
+    a = forward(variables, xn, TINY, dropout_rate=0.5, rng=jax.random.PRNGKey(1))
+    b = forward(variables, xn, TINY, dropout_rate=0.5, rng=jax.random.PRNGKey(1))
+    c = forward(variables, xn, TINY, dropout_rate=0.5, rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_gradients_flow_to_all_trainables(batch):
+    hp = TrainHParams(l2_coeff=0.0)
+    variables = init_variables(jax.random.PRNGKey(0), TINY)
+    state = init_train_state(variables, hp)
+    x, y = batch
+    from roomnet_tpu.models.roomnet import normalize_bgr_uint8
+
+    grads = jax.grad(
+        lambda tv: loss_fn(tv, state.frozen_vars, normalize_bgr_uint8(x), y, hp, TINY, None)[0]
+    )(state.train_vars)
+    zero_grads = [k for k, g in grads.items() if float(jnp.abs(g).max()) == 0.0]
+    # ReLU6-clipped logits can dead-zone SOME units but not entire kernels
+    # at init scale; every tensor should receive some gradient.
+    assert zero_grads == [], zero_grads

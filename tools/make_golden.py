@@ -1,0 +1,121 @@
+"""Generate golden parity fixtures from the reference TF1 graph (offline tool).
+
+Produces tests/golden/*.npz consumed by the parity test suite:
+  * forward_golden.npz — seeded uint8 BGR batch -> TF logits/softmax/argmax
+    from the frozen reference graph (/root/reference/final_model/roomnet.meta).
+  * resize_golden.npz — TF1-legacy `resize_bilinear` outputs at the three
+    residual call-site shapes (+ an upscale case), and half-pixel (cv2/TF2)
+    outputs for the preprocess path.
+
+TF runs CPU-only here; fixtures are committed so tests never need TF.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+REF_CKPT = "/root/reference/final_model/roomnet"
+
+
+def make_forward_golden():
+    import tensorflow.compat.v1 as tf
+
+    tf.disable_eager_execution()
+    import cv2
+    from glob import glob
+
+    rng = np.random.RandomState(20260816)
+    # Mix of pure noise and real image content (reference documentation PNGs)
+    # so the golden logits are not all ReLU6-saturated/degenerate.
+    ims = [rng.randint(0, 256, size=(224, 224, 3), dtype=np.uint8) for _ in range(2)]
+    for p in sorted(glob("/root/reference/documentation/*.png"))[:6]:
+        im = cv2.imread(p)  # BGR
+        if im is None:
+            continue
+        h, w = im.shape[:2]
+        side = min(h, w)
+        im = im[(h - side) // 2 : (h + side) // 2, (w - side) // 2 : (w + side) // 2]
+        ims.append(cv2.resize(im, (224, 224)))
+    x_uint8 = np.stack(ims[:8], axis=0)  # BGR
+    x_norm = ((x_uint8[:, :, :, ::-1].astype(np.float64) / 255.0) * 2.0 - 1.0).astype(
+        np.float32
+    )
+
+    graph = tf.Graph()
+    with graph.as_default():
+        saver = tf.train.import_meta_graph(REF_CKPT + ".meta")
+        x_ph = graph.get_tensor_by_name("input_x_tensor:0")
+        softmax_ts = [op.outputs[0] for op in graph.get_operations() if op.type == "Softmax"]
+        argmax_ts = [op.outputs[0] for op in graph.get_operations() if op.type == "ArgMax"]
+        assert len(softmax_ts) == 1 and len(argmax_ts) == 1, (softmax_ts, argmax_ts)
+        logits_ts = softmax_ts[0].op.inputs[0]
+        with tf.Session(graph=graph) as sess:
+            saver.restore(sess, REF_CKPT)
+            logits, probs, preds = sess.run(
+                [logits_ts, softmax_ts[0], argmax_ts[0]], feed_dict={x_ph: x_norm}
+            )
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "forward_golden.npz"),
+        x_uint8_bgr=x_uint8,
+        logits=logits,
+        softmax=probs,
+        argmax=preds,
+    )
+    print("forward golden:", logits.shape, "preds", preds)
+
+
+def make_resize_golden():
+    import tensorflow.compat.v1 as tf
+
+    tf.disable_eager_execution()
+    rng = np.random.RandomState(7)
+    cases = [(215, 205), (100, 48), (21, 2), (7, 13)]
+    out = {}
+    with tf.Session(graph=tf.Graph()) as sess:
+        for src, dst in cases:
+            x = rng.uniform(-3, 3, size=(2, src, src, 5)).astype(np.float32)
+            y_legacy = sess.run(
+                tf.image.resize_bilinear(
+                    tf.constant(x), (dst, dst), align_corners=False,
+                    half_pixel_centers=False,
+                )
+            )
+            y_half = sess.run(
+                tf.image.resize_bilinear(
+                    tf.constant(x), (dst, dst), align_corners=False,
+                    half_pixel_centers=True,
+                )
+            )
+            out[f"x_{src}_{dst}"] = x
+            out[f"legacy_{src}_{dst}"] = y_legacy
+            out[f"half_{src}_{dst}"] = y_half
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "resize_golden.npz"), **out)
+    print("resize golden:", len(out), "arrays")
+
+
+def make_cv2_resize_golden():
+    import cv2
+
+    rng = np.random.RandomState(11)
+    out = {}
+    # 3-channel uint8 like real images, and float32 — both conventions used
+    # by the host preprocess (generator.py:85, network.py:152).
+    for src_h, src_w, dst in [(300, 300, 224), (517, 517, 224), (150, 150, 224)]:
+        im = rng.randint(0, 256, size=(src_h, src_w, 3), dtype=np.uint8)
+        res = cv2.resize(im, (dst, dst))  # INTER_LINEAR default
+        out[f"x_{src_h}_{src_w}_{dst}"] = im
+        out[f"y_{src_h}_{src_w}_{dst}"] = res
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "cv2_resize_golden.npz"), **out)
+    print("cv2 resize golden:", len(out), "arrays")
+
+
+if __name__ == "__main__":
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    make_forward_golden()
+    make_resize_golden()
+    make_cv2_resize_golden()
