@@ -57,6 +57,31 @@ def center_crop(im: np.ndarray) -> np.ndarray:
     return im
 
 
+def draw_crop_rect(
+    h: int, w: int, *, random_crop: bool, rng: np.random.RandomState
+) -> tuple[int, int, int, int]:
+    """(cx, cy, cw, ch) square crop — random-sliding (generator.py:52-67) or
+    centered (generator.py:69-78). Drawn in Python so the native and cv2
+    backends consume the identical RNG sequence."""
+    if h == w:
+        return 0, 0, w, h
+    side = min(h, w)
+    if random_crop:
+        start = int(rng.randint(max(h, w) - side))
+    else:
+        start = abs((w - h) // 2)
+    if h < w:
+        return start, 0, side, side
+    return 0, start, side, side
+
+
+def draw_flips(rng: np.random.RandomState, augment: bool) -> tuple[bool, bool]:
+    """p=.5 fliplr then p=.5 flipud, same draw order as generator.py:89-92."""
+    if not augment:
+        return False, False
+    return bool(rng.uniform() > 0.5), bool(rng.uniform() > 0.5)
+
+
 def load_and_preprocess(
     fpath: str,
     im_side: int,
@@ -64,22 +89,45 @@ def load_and_preprocess(
     random_crop: bool,
     augment: bool,
     rng: np.random.RandomState,
+    use_native: bool | None = None,
 ) -> np.ndarray | None:
-    """Decode + crop + resize + optional flips. Returns HWC uint8 BGR."""
+    """Decode + square-crop + resize + optional flips -> HWC uint8 BGR.
+
+    Prefers the native C++ pipeline (csrc/roomnet_io.cpp: fused
+    decode->crop->resize->flip, no intermediate copies); falls back to cv2.
+    Both backends draw crop/flip randomness from the same RNG sequence, so
+    batches are backend-independent given a seed (within 1 LSB of resize
+    rounding).
+    """
+    from roomnet_tpu.data import native
+
+    if use_native is None:
+        use_native = native.available()
+    if use_native:
+        probed = native.probe(fpath)
+        if probed is None:
+            return None
+        h, w = probed
+        crop = draw_crop_rect(h, w, random_crop=random_crop, rng=rng)
+        flip_lr, flip_ud = draw_flips(rng, augment)
+        return native.load_preprocess(fpath, crop, im_side, flip_lr, flip_ud)
+
     import cv2
 
     im = cv2.imread(fpath)
     if im is None:
         return None
-    im = random_sliding_square_crop(im, rng) if random_crop else center_crop(im)
+    cx, cy, cw, ch = draw_crop_rect(
+        im.shape[0], im.shape[1], random_crop=random_crop, rng=rng
+    )
+    im = im[cy : cy + ch, cx : cx + cw]
     if im.shape[0] != im_side or im.shape[1] != im_side:
         im = cv2.resize(im, (im_side, im_side))
-    if augment:
-        # Order matches generator.py:89-92: fliplr draw, then flipud draw.
-        if rng.uniform() > 0.5:
-            im = np.fliplr(im)
-        if rng.uniform() > 0.5:
-            im = np.flipud(im)
+    flip_lr, flip_ud = draw_flips(rng, augment)
+    if flip_lr:
+        im = np.fliplr(im)
+    if flip_ud:
+        im = np.flipud(im)
     return np.ascontiguousarray(im)
 
 
@@ -135,29 +183,59 @@ class TrainFeeder:
             np.random.RandomState((self.seed * 1_000_003 + epoch) & 0x7FFFFFFF).shuffle(idx)
         return idx
 
+    def _item_rng(self, epoch: int, batch_i: int, i: int) -> np.random.RandomState:
+        return np.random.RandomState(
+            (self.seed * 2_000_003 + epoch * 9_973 + batch_i * 101 + i) & 0x7FFFFFFF
+        )
+
     def _make_batch(self, epoch: int, batch_i: int, order: np.ndarray):
+        from roomnet_tpu.data import native
+
         start = batch_i * self.batch_size
         lines = self.fpaths[order[start : start + self.batch_size]]
         parsed = [parse_list_line(l) for l in lines]
 
-        def one(args):
-            i, (path, label) = args
-            rng = np.random.RandomState(
-                (self.seed * 2_000_003 + epoch * 9_973 + batch_i * 101 + i) & 0x7FFFFFFF
+        if native.available():
+            # Native fused pipeline: probe headers (threaded), draw
+            # crops/flips in Python (identical RNG sequence to the cv2
+            # path), then ONE C call fills the contiguous batch buffer
+            # with its internal thread pool.
+            probes = list(self._pool.map(native.probe, [p for p, _ in parsed]))
+            n = len(parsed)
+            crops = np.full((n, 4), -1, np.int32)
+            flips = np.zeros((n, 2), np.int32)
+            for i, pr in enumerate(probes):
+                rng = self._item_rng(epoch, batch_i, i)
+                if pr is None:
+                    continue
+                crops[i] = draw_crop_rect(
+                    pr[0], pr[1], random_crop=self.random_crop, rng=rng
+                )
+                flips[i] = draw_flips(rng, self.augment)
+            batch, ok = native.load_preprocess_batch(
+                [p for p, _ in parsed], crops, self.im_side, flips
             )
-            im = load_and_preprocess(
-                path,
-                self.im_side,
-                random_crop=self.random_crop,
-                augment=self.augment,
-                rng=rng,
-            )
-            return im, label, path
+            ok &= np.array([pr is not None for pr in probes])
+            xs = [batch[i] for i in range(n) if ok[i]]
+            ys = [parsed[i][1] for i in range(n) if ok[i]]
+            paths = [parsed[i][0] for i in range(n) if ok[i]]
+        else:
 
-        results = list(self._pool.map(one, enumerate(parsed)))
-        xs = [r[0] for r in results if r[0] is not None]
-        ys = [r[1] for r in results if r[0] is not None]
-        paths = [r[2] for r in results if r[0] is not None]
+            def one(args):
+                i, (path, label) = args
+                im = load_and_preprocess(
+                    path,
+                    self.im_side,
+                    random_crop=self.random_crop,
+                    augment=self.augment,
+                    rng=self._item_rng(epoch, batch_i, i),
+                )
+                return im, label, path
+
+            results = list(self._pool.map(one, enumerate(parsed)))
+            xs = [r[0] for r in results if r[0] is not None]
+            ys = [r[1] for r in results if r[0] is not None]
+            paths = [r[2] for r in results if r[0] is not None]
         if not xs:  # whole batch unreadable — keep shape contract with zeros
             xs = [np.zeros((self.im_side, self.im_side, 3), np.uint8)]
             ys = [0]

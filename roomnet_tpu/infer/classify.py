@@ -73,6 +73,21 @@ class RoomNetClassifier:
 
     # -- host preprocess ----------------------------------------------------
     def _load(self, fpath: str) -> np.ndarray | None:
+        """Center-crop -> resize -> BGR uint8 (reference network.py:148-152).
+
+        Uses the native C++ fused pipeline when built, else cv2."""
+        from roomnet_tpu.data import native
+
+        if native.available():
+            probed = native.probe(fpath)
+            if probed is None:
+                return None
+            h, w = probed
+            from roomnet_tpu.data.loader import draw_crop_rect
+
+            crop = draw_crop_rect(h, w, random_crop=False, rng=None)
+            return native.load_preprocess(fpath, crop, self.cfg.im_side)
+
         import cv2
 
         im = cv2.imread(fpath)

@@ -85,6 +85,11 @@ class RoomNetConfig:
 
 DEFAULT_CONFIG = RoomNetConfig()
 
+# Fast serving/training config: bf16 compute (single-pass MXU, half the HBM
+# traffic). Params stay f32; logits return f32. Parity mode (DEFAULT_CONFIG)
+# keeps full-f32 passes for golden equivalence with the reference graph.
+FAST_CONFIG = RoomNetConfig(compute_dtype=jnp.bfloat16)
+
 
 def _bn_init(c: int) -> dict:
     return {

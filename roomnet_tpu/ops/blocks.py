@@ -33,6 +33,12 @@ __all__ = [
 BN_EPS = 1e-3  # tf.layers.batch_normalization default (reference network.py:193)
 BN_MOMENTUM = 0.99  # moving-average momentum, tf.layers default
 
+# Contraction precision note: Precision.HIGHEST everywhere. For f32 inputs
+# this means full f32 MXU passes (parity mode; JAX's default decomposes f32
+# matmuls into bf16 passes, which quantizes visibly). For bf16 compute
+# dtype (the fast serving/training path) HIGHEST is free — bf16 inputs are
+# a single MXU pass either way, with f32 accumulation.
+
 
 class BNStats(NamedTuple):
     """Batch statistics produced by a training-mode BN application."""
@@ -60,7 +66,12 @@ def conv2d_valid(
     bf16 inputs are unaffected (already single-pass).
     """
     if accum_dtype is None:
-        accum_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        # bf16 mode: leave output dtype = input dtype (the MXU accumulates in
+        # f32 internally either way); an explicit f32 preferred_element_type
+        # breaks the conv transpose rule with mixed-dtype operands.
+        accum_dtype = (
+            None if x.dtype == jnp.bfloat16 else jnp.promote_types(x.dtype, jnp.float32)
+        )
     return jax.lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
@@ -130,10 +141,11 @@ def batch_norm_train(
 
 
 def dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    pet = None if x.dtype == jnp.bfloat16 else jnp.promote_types(x.dtype, jnp.float32)
     y = jnp.dot(
         x,
         kernel.astype(x.dtype),
-        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+        preferred_element_type=pet,
         precision=jax.lax.Precision.HIGHEST,
     ).astype(x.dtype)
     if bias is not None:

@@ -93,9 +93,17 @@ def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndar
     """
     import jax
 
+    hi = jax.lax.Precision.HIGHEST
+    if x.dtype == jnp.bfloat16:
+        # Fast path: single-pass bf16 MXU (internal f32 accumulation); the
+        # interpolation weights round to bf16 (serving-mode tolerance). No
+        # explicit preferred_element_type — mixed-dtype transposes break
+        # under grad, and the residual resize IS on the training path.
+        y = jnp.einsum("bhwc,hi->biwc", x, jnp.asarray(wh, jnp.bfloat16), precision=hi)
+        y = jnp.einsum("biwc,wj->bijc", y, jnp.asarray(ww, jnp.bfloat16), precision=hi)
+        return y
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
     # (B,H,W,C) x (H,H2) -> (B,W,C,H2) -> ... keep everything as dot_generals.
     y = jnp.einsum("bhwc,hi->biwc", x32, jnp.asarray(wh), precision=hi)
     y = jnp.einsum("biwc,wj->bijc", y, jnp.asarray(ww), precision=hi)

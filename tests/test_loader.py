@@ -126,3 +126,36 @@ def test_feeder_skips_unreadable(tmp_path):
 def test_parse_list_line_with_spaces():
     p, c = parse_list_line("C:\\data\\Living Room\\img 1.jpg 5\n")
     assert p == "C:\\data\\Living Room\\img 1.jpg" and c == 5
+
+
+def test_native_and_cv2_backends_agree(tmp_path):
+    """Same seed -> same crop/flip draws -> near-identical pixels from the
+    C++ fused pipeline (csrc/roomnet_io.cpp) and the cv2 fallback."""
+    from roomnet_tpu.data import native
+    from roomnet_tpu.data.loader import load_and_preprocess
+
+    if not native.available():
+        pytest.skip("native library not built (make -C csrc)")
+    p = _write_imgs(tmp_path / "d", "c0", 1, hw=(70, 50))[0]
+    for kwargs in [
+        dict(random_crop=False, augment=False),
+        dict(random_crop=True, augment=True),
+    ]:
+        a = load_and_preprocess(p, 32, rng=np.random.RandomState(5),
+                                use_native=True, **kwargs)
+        b = load_and_preprocess(p, 32, rng=np.random.RandomState(5),
+                                use_native=False, **kwargs)
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert diff.max() <= 1, diff.max()  # float vs cv2 fixed-point rounding
+
+
+def test_native_probe_and_decode(tmp_path):
+    from roomnet_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    p = _write_imgs(tmp_path / "d", "c0", 1, hw=(33, 44))[0]
+    assert native.probe(p) == (33, 44)
+    assert native.probe(str(tmp_path / "nope.png")) is None
+    out = native.load_preprocess(p, None, 16)
+    assert out is not None and out.shape == (16, 16, 3)
