@@ -1,0 +1,192 @@
+"""Unified CLI — replaces the reference's module-constant "configs" + bare
+`if __name__ == '__main__'` entry points (train.py:26-41,115; infer.py:22-26,
+103; plotter.py:25; manual_classifier.py:93) with typed subcommands.
+
+    python -m roomnet_tpu train   --data-dir ./data/REI-Dataset [--curriculum]
+    python -m roomnet_tpu infer   --images-dir ./test_images [--no-overlay]
+    python -m roomnet_tpu validate --list-file val_list.txt
+    python -m roomnet_tpu convert --tf-ckpt /root/reference/final_model/roomnet
+    python -m roomnet_tpu plot    [--stats all_train_stats.json]
+    python -m roomnet_tpu plot-checkpoints --model-dir all_trained_models/...
+    python -m roomnet_tpu label   --in-dir ./unlabeled
+    python -m roomnet_tpu export  --out roomnet.tflite
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_variables(params_path: str):
+    import numpy as np
+
+    from roomnet_tpu.params import schema
+
+    return schema.unflatten_variables(dict(np.load(params_path)))
+
+
+def cmd_train(args):
+    from roomnet_tpu.train.loop import TrainConfig, Trainer
+
+    kwargs = dict(
+        data_dir=args.data_dir,
+        train_steps=args.steps,
+        save_freq=args.save_freq,
+        learn_rate=args.learn_rate,
+        l2_coeff=args.l2,
+        model_dir=args.model_dir,
+        img_side=args.img_side,
+        seed=args.seed,
+        restore_head=not args.fresh_head,
+    )
+    if args.curriculum:
+        kwargs["phases"] = TrainConfig.reference_curriculum(args.steps)
+    tc = TrainConfig(**kwargs)
+    mesh = None
+    if args.data_parallel:
+        from roomnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    Trainer(tc, mesh=mesh).train()
+
+
+def cmd_infer(args):
+    from roomnet_tpu.infer.classify import RoomNetClassifier, classify_im_dir
+    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
+
+    cfg = DEFAULT_CONFIG if args.exact else FAST_CONFIG
+    clf = RoomNetClassifier(
+        _load_variables(args.params), cfg, batch_size=args.batch_size
+    )
+    xl = classify_im_dir(clf, args.images_dir, overlay=not args.no_overlay)
+    print("Results:", xl)
+
+
+def cmd_validate(args):
+    from roomnet_tpu.infer.classify import RoomNetClassifier, groundtruth_validation
+    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
+
+    cfg = DEFAULT_CONFIG if args.exact else FAST_CONFIG
+    clf = RoomNetClassifier(
+        _load_variables(args.params), cfg, batch_size=args.batch_size
+    )
+    stats = groundtruth_validation(clf, args.list_file)
+    print(json.dumps(stats, indent=2))
+
+
+def cmd_convert(args):
+    from roomnet_tpu.params.convert_tf import convert_tf_checkpoint, save_flat
+
+    flat = convert_tf_checkpoint(args.tf_ckpt)
+    save_flat(flat, args.out, meta={"source_tf_ckpt": args.tf_ckpt})
+    print(f"converted {len(flat)} tensors -> {args.out}")
+
+
+def cmd_plot(args):
+    from roomnet_tpu.plotting.plotter import plot_training_stats
+
+    outs = plot_training_stats(args.stats, args.out_dir)
+    print("\n".join(outs))
+
+
+def cmd_plot_checkpoints(args):
+    from roomnet_tpu.plotting.plotter import plot_checkpoint_accuracies
+
+    print(plot_checkpoint_accuracies(args.model_dir))
+
+
+def cmd_label(args):
+    from roomnet_tpu.data.labeler import ImageLabeler
+
+    ImageLabeler(args.in_dir).run_labeller(resume=not args.no_resume)
+
+
+def cmd_export(args):
+    from roomnet_tpu.params.export import export_tflite
+
+    out = export_tflite(_load_variables(args.params), args.out)
+    print("exported:", out)
+
+
+def cmd_bench(args):
+    import bench  # repo-root bench.py
+
+    bench.main()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="roomnet_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train / fine-tune (reference train.py)")
+    t.add_argument("--data-dir", default="./data/REI-Dataset")
+    t.add_argument("--steps", type=int, default=100_000)
+    t.add_argument("--save-freq", type=int, default=10)
+    t.add_argument("--learn-rate", type=float, default=2e-4)
+    t.add_argument("--l2", type=float, default=6e-2)
+    t.add_argument("--model-dir", default="all_trained_models/trained_models")
+    t.add_argument("--img-side", type=int, default=224)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--fresh-head", action="store_true",
+                   help="exclude the dense head on restore (network.py:78)")
+    t.add_argument("--curriculum", action="store_true",
+                   help="README.md:34-38 batch/dropout/BN-freeze schedule")
+    t.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all local devices")
+    t.set_defaults(fn=cmd_train)
+
+    i = sub.add_parser("infer", help="classify a directory (reference infer.py)")
+    i.add_argument("--images-dir", required=True)
+    i.add_argument("--params", default="artifacts/roomnet_params.npz")
+    i.add_argument("--batch-size", type=int, default=64)
+    i.add_argument("--no-overlay", action="store_true")
+    i.add_argument("--exact", action="store_true",
+                   help="f32 parity mode instead of bf16 serving mode")
+    i.set_defaults(fn=cmd_infer)
+
+    v = sub.add_parser("validate", help="score a labeled list file")
+    v.add_argument("--list-file", required=True)
+    v.add_argument("--params", default="artifacts/roomnet_params.npz")
+    v.add_argument("--batch-size", type=int, default=64)
+    v.add_argument("--exact", action="store_true")
+    v.set_defaults(fn=cmd_validate)
+
+    c = sub.add_parser("convert", help="TF checkpoint -> native params")
+    c.add_argument("--tf-ckpt", default="/root/reference/final_model/roomnet")
+    c.add_argument("--out", default="artifacts/roomnet_params.npz")
+    c.set_defaults(fn=cmd_convert)
+
+    pl = sub.add_parser("plot", help="stats JSON -> 4 PNGs (reference plotter.py)")
+    pl.add_argument("--stats", default="all_train_stats.json")
+    pl.add_argument("--out-dir", default="performance_plots")
+    pl.set_defaults(fn=cmd_plot)
+
+    lp = sub.add_parser("plot-checkpoints",
+                        help="accuracy from ckpt names (legacy_plotter.py)")
+    lp.add_argument("--model-dir", required=True)
+    lp.set_defaults(fn=cmd_plot_checkpoints)
+
+    lb = sub.add_parser("label", help="manual labeling tool (manual_classifier.py)")
+    lb.add_argument("--in-dir", required=True)
+    lb.add_argument("--no-resume", action="store_true")
+    lb.set_defaults(fn=cmd_label)
+
+    e = sub.add_parser("export", help="export to TFLite via jax2tf")
+    e.add_argument("--params", default="artifacts/roomnet_params.npz")
+    e.add_argument("--out", default="artifacts/roomnet.tflite")
+    e.set_defaults(fn=cmd_export)
+
+    b = sub.add_parser("bench", help="run the benchmark")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,75 @@
+"""Model registry: named RoomNet variants.
+
+The reference experimented with 300x300 and 600x600 inputs before settling
+on 224 (README.md:32); the architecture is the same conv/dense program, so
+variants differ only in `im_side` (and hence `flat_len`, which is why the
+reference's checkpoint loader excludes the dense head when the input size
+changes — network.py:78, :242). `tiny` is the fast-compile test variant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG, RoomNetConfig
+
+_REGISTRY: dict[str, RoomNetConfig] = {}
+
+
+def register(name: str, cfg: RoomNetConfig) -> RoomNetConfig:
+    if name in _REGISTRY:
+        raise KeyError(f"model '{name}' already registered")
+    validate(cfg)
+    _REGISTRY[name] = cfg
+    return cfg
+
+
+def get(name: str) -> RoomNetConfig:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown model '{name}'; have {sorted(_REGISTRY)}") from None
+
+
+def names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def validate(cfg: RoomNetConfig) -> None:
+    """Reject geometries where a conv/pool window exceeds its input."""
+    s = cfg.im_side
+    for bi in range(len(cfg.block_filters)):
+        for _ in range(cfg.block_depths[bi]):
+            if s < cfg.kernel_size:
+                raise ValueError(f"im_side {cfg.im_side}: conv input {s} < kernel")
+            s -= cfg.kernel_size - 1
+            if cfg.block_pools[bi] is not None:
+                k, st = cfg.block_pools[bi]
+                if s < k:
+                    raise ValueError(f"im_side {cfg.im_side}: pool input {s} < {k}")
+                s = (s - k) // st + 1
+    if s < 1:
+        raise ValueError("network collapses below 1x1")
+
+
+register("roomnet-224", DEFAULT_CONFIG)
+register("roomnet-224-bf16", FAST_CONFIG)
+register("roomnet-300", dataclasses.replace(DEFAULT_CONFIG, im_side=300))
+register("roomnet-600", dataclasses.replace(DEFAULT_CONFIG, im_side=600))
+register(
+    "roomnet-tiny",
+    RoomNetConfig(
+        num_classes=6,
+        im_side=32,
+        block_filters=(8, 16),
+        block_depths=(1, 2),
+        block_pools=((3, 1), (4, 2)),
+        dense_units=(16, 8),
+    ),
+)
+register(
+    "roomnet-600-bf16",
+    dataclasses.replace(DEFAULT_CONFIG, im_side=600, compute_dtype=jnp.bfloat16),
+)

@@ -1,0 +1,115 @@
+"""Tracing / profiling utilities (SURVEY.md §5 tracing row).
+
+The reference's only instrumentation is tqdm bars + per-step prints
+(train.py:158) and, on mobile, `android.os.Trace` sections around
+preprocess/inference with on-screen ms (Classifier.java:248-259,
+ClassifierActivity.java:113-115). Here:
+
+  * `trace(name)` — a context manager emitting a `jax.profiler.TraceAnnotation`
+    (visible in XProf/TensorBoard timelines) AND accumulating wall-time into
+    a process-local registry (the android.os.Trace analogue);
+  * `StepTimer` — steps/sec + images/sec EMA counters for training loops;
+  * `start_server` / `trace_to` — jax.profiler hooks for on-demand capture.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+import time
+from collections import defaultdict
+
+
+class _Registry:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.totals: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+
+    def add(self, name: str, dt: float):
+        with self._lock:
+            self.totals[name] += dt
+            self.counts[name] += 1
+
+    def summary(self) -> dict[str, dict[str, float]]:
+        with self._lock:
+            return {
+                k: {
+                    "total_s": self.totals[k],
+                    "count": self.counts[k],
+                    "mean_ms": 1e3 * self.totals[k] / max(self.counts[k], 1),
+                }
+                for k in self.totals
+            }
+
+    def reset(self):
+        with self._lock:
+            self.totals.clear()
+            self.counts.clear()
+
+
+SPANS = _Registry()
+
+
+@contextlib.contextmanager
+def trace(name: str):
+    """Wall-time span + XLA profiler annotation."""
+    import jax
+
+    t0 = time.perf_counter()
+    try:
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    finally:
+        SPANS.add(name, time.perf_counter() - t0)
+
+
+def start_server(port: int = 9999):
+    """Start the jax.profiler gRPC server for on-demand XProf capture."""
+    import jax
+
+    jax.profiler.start_server(port)
+    return port
+
+
+@contextlib.contextmanager
+def trace_to(log_dir: str):
+    """Capture a profiler trace viewable in TensorBoard/XProf."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """steps/sec + images/sec counters with an exponential moving average."""
+
+    def __init__(self, ema: float = 0.9):
+        self.ema = ema
+        self._last: float | None = None
+        self.step_time_ema: float | None = None
+        self.total_steps = 0
+        self.total_images = 0
+        self._t0 = time.perf_counter()
+
+    def tick(self, batch_size: int) -> dict[str, float]:
+        now = time.perf_counter()
+        self.total_steps += 1
+        self.total_images += batch_size
+        out: dict[str, float] = {}
+        if self._last is not None:
+            dt = now - self._last
+            self.step_time_ema = (
+                dt
+                if self.step_time_ema is None
+                else self.ema * self.step_time_ema + (1 - self.ema) * dt
+            )
+            out["step_ms"] = dt * 1e3
+            out["steps_per_sec"] = 1.0 / self.step_time_ema
+            out["images_per_sec"] = batch_size / self.step_time_ema
+        self._last = now
+        out["avg_images_per_sec"] = self.total_images / max(now - self._t0, 1e-9)
+        return out

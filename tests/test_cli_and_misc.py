@@ -1,0 +1,133 @@
+"""CLI parser, model registry, profiling utils, plotters, labeler."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from roomnet_tpu.cli import build_parser
+from roomnet_tpu.models import registry
+
+
+def test_cli_parses_all_subcommands():
+    p = build_parser()
+    for argv in [
+        ["train", "--data-dir", "/x", "--curriculum"],
+        ["infer", "--images-dir", "/x", "--no-overlay", "--exact"],
+        ["validate", "--list-file", "/x"],
+        ["convert"],
+        ["plot"],
+        ["plot-checkpoints", "--model-dir", "/m"],
+        ["label", "--in-dir", "/x"],
+        ["export"],
+        ["bench"],
+    ]:
+        args = p.parse_args(argv)
+        assert callable(args.fn)
+
+
+def test_registry_variants():
+    assert "roomnet-224" in registry.names()
+    assert registry.get("roomnet-300").im_side == 300
+    assert registry.get("roomnet-600").im_side == 600
+    with pytest.raises(KeyError):
+        registry.get("nope")
+
+
+def test_registry_validates_geometry():
+    import dataclasses
+
+    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG
+
+    with pytest.raises(ValueError):
+        registry.validate(dataclasses.replace(DEFAULT_CONFIG, im_side=64))
+    registry.validate(DEFAULT_CONFIG)  # ok
+
+
+def test_registry_300_600_geometry_is_valid_and_runs():
+    """Forward actually executes at the alternate input sizes the reference
+    experimented with (README.md:32)."""
+    import jax
+
+    from roomnet_tpu.models.roomnet import forward, init_variables
+
+    cfg = registry.get("roomnet-300")
+    v = init_variables(jax.random.PRNGKey(0), cfg)
+    x = np.zeros((1, 300, 300, 3), np.float32)
+    out = forward(v, x, cfg)
+    assert out.shape == (1, 6)
+
+
+def test_step_timer_and_trace_spans():
+    from roomnet_tpu.utils import profiling
+
+    profiling.SPANS.reset()
+    with profiling.trace("unit_span"):
+        pass
+    s = profiling.SPANS.summary()
+    assert "unit_span" in s and s["unit_span"]["count"] == 1
+
+    t = profiling.StepTimer()
+    first = t.tick(8)
+    second = t.tick(8)
+    assert "avg_images_per_sec" in first
+    assert "images_per_sec" in second and second["images_per_sec"] > 0
+
+
+def test_plot_training_stats(tmp_path):
+    stats = [
+        {"step": s, "accuracy": 0.5 + s / 1000,
+         "precisions": [0.5] * 6, "recalls": [0.5] * 6, "f-scores": [0.5] * 6}
+        for s in (30, 10, 20)
+    ]
+    sp = tmp_path / "stats.json"
+    sp.write_text(json.dumps(stats))
+    from roomnet_tpu.plotting.plotter import plot_training_stats
+
+    outs = plot_training_stats(str(sp), str(tmp_path / "plots"))
+    assert len(outs) == 4
+    assert all(os.path.getsize(o) > 1000 for o in outs)
+
+
+def test_plot_checkpoint_accuracies(tmp_path):
+    for acc, step in [("0.5", 10), ("0.8", 30), ("0.7", 20)]:
+        (tmp_path / f"roomnet--{acc}--{step}.npz").write_bytes(b"x")
+    from roomnet_tpu.plotting.plotter import plot_checkpoint_accuracies
+
+    out = plot_checkpoint_accuracies(str(tmp_path))
+    assert os.path.exists(out)
+
+
+def test_labeler_resume_and_binning(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(d / f"im{i}.png"), np.zeros((8, 8, 3), np.uint8))
+
+    from roomnet_tpu.data.labeler import ImageLabeler
+
+    keys = iter([ord("a"), ord("b"), ord("a")])
+    lab = ImageLabeler(str(d), ui=lambda p: next(keys))
+    assert lab.run_labeller() == 3
+    out = tmp_path / "imgs-labelled"
+    assert (out / "labels.csv").exists()
+    binned_a = os.listdir(out / "binned_files" / str(ord("a")))
+    assert len(binned_a) == 2
+    # resume: nothing left to label, no UI calls made
+    lab2 = ImageLabeler(str(d), ui=lambda p: (_ for _ in ()).throw(AssertionError))
+    assert lab2.run_labeller() == 0
+
+
+def test_labeler_esc_aborts(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(d / f"im{i}.png"), np.zeros((8, 8, 3), np.uint8))
+    from roomnet_tpu.data.labeler import ESC, ImageLabeler
+
+    keys = iter([ord("x"), ESC])
+    lab = ImageLabeler(str(d), ui=lambda p: next(keys))
+    assert lab.run_labeller() == 1  # labeled one, then aborted
