@@ -140,6 +140,21 @@ def _maybe_dropout(x, dropout_rate, rng, site):
     return B.dropout(x, dropout_rate, jax.random.fold_in(rng, site))
 
 
+def _fold_preprocess_into_first_conv(k0: jnp.ndarray):
+    """Fold BGR->RGB + [-1,1] normalization into block-0's conv weights.
+
+    For uint8 BGR input: ``conv(k, bgr*2/255 - 1  reversed)`` equals
+    ``conv(k', bgr_cast) + b'`` with ``k' = flip_cin(k) * 2/255`` and
+    ``b'[co] = -sum_{dy,dx,ci} k[...]`` — so the preprocess
+    (reference network.py:129,153,159) costs a dtype cast and nothing else:
+    no normalized intermediate tensor ever hits HBM.
+    """
+    k = k0.astype(jnp.float32)
+    k_folded = k[:, :, ::-1, :] * (2.0 / 255.0)
+    bias = -jnp.sum(k, axis=(0, 1, 2))
+    return k_folded, bias
+
+
 def forward(
     variables: Variables,
     x: jnp.ndarray,
@@ -161,10 +176,20 @@ def forward(
         scalar rate applied after every conv/dense block
         (reference network.py:204-206, 219-221).
 
+    Input: normalized RGB float NHWC in [-1,1], OR raw uint8 BGR — uint8
+    input triggers the free algebraic preprocess fold (see
+    `_fold_preprocess_into_first_conv`).
+
     Returns:
       logits (B, num_classes) — ReLU6-clipped like the reference — or
       (logits, batch_stats_dict) when collect_batch_stats.
     """
+    folded_bias = None
+    folded_k0 = None
+    if x.dtype == jnp.uint8:
+        folded_k0, folded_bias = _fold_preprocess_into_first_conv(
+            variables["blocks"][0]["conv"][0]
+        )
     x = x.astype(cfg.compute_dtype)
     stats: dict[str, B.BNStats] = {}
     site = 0
@@ -183,7 +208,10 @@ def forward(
         pool = cfg.block_pools[bi]
         res_in = None
         for d in range(depth):
-            x = B.conv2d_valid(x, blk["conv"][d])
+            if bi == 0 and d == 0 and folded_k0 is not None:
+                x = B.conv2d_valid(x, folded_k0) + folded_bias.astype(x.dtype)
+            else:
+                x = B.conv2d_valid(x, blk["conv"][d])
             x = B.relu6(x)
             if pool is not None:
                 x = B.avg_pool_valid(x, pool[0], pool[1])

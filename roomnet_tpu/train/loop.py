@@ -240,7 +240,7 @@ class Trainer:
                     y_vals, y_preds = self.run_validation(state, val_reader)
                     entry = make_stats_entry(int(state.step), y_vals, y_preds)
                     self.store.save(
-                        state.variables,
+                        state.variables(self.cfg),
                         int(state.step),
                         suffix=str(entry["accuracy"]),
                         opt_state_flat=flatten_opt_state(state.opt_state),

@@ -53,9 +53,8 @@ class TrainState(NamedTuple):
     frozen_vars: dict[str, Any]  # BN moving stats flat dict
     opt_state: TF1AdamState
 
-    @property
-    def variables(self):
-        return schema.unflatten_jax({**self.train_vars, **self.frozen_vars})
+    def variables(self, cfg: RoomNetConfig = DEFAULT_CONFIG):
+        return schema.unflatten_jax({**self.train_vars, **self.frozen_vars}, cfg)
 
 
 def init_train_state(variables, hp: TrainHParams = TrainHParams()) -> TrainState:

@@ -1,0 +1,81 @@
+"""End-to-end Trainer on a synthetic dataset (tiny config, CPU).
+
+Covers the reference train.py main-loop behaviors: dataset split cold/warm
+path, periodic validation with stats JSON in the reference schema, acc-named
+checkpoints, and resume-latest continuing the step count.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from roomnet_tpu.train.loop import Phase, TrainConfig, Trainer, phase_at
+from tests.tiny import TINY
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture
+def data_dir(tmp_path):
+    rng = np.random.RandomState(0)
+    for cls, base in [("Kitchen", 40), ("Bedroom", 200)]:
+        d = tmp_path / "data" / cls
+        d.mkdir(parents=True)
+        for i in range(10):
+            im = np.clip(rng.randint(base - 30, base + 30, (40, 48, 3)), 0, 255)
+            cv2.imwrite(str(d / f"im_{i}.png"), im.astype(np.uint8))
+    return tmp_path
+
+
+def _tc(tmp_path, **kw):
+    return TrainConfig(
+        data_dir=str(tmp_path / "data"),
+        train_list_fpath=str(tmp_path / "train_list.txt"),
+        val_list_fpath=str(tmp_path / "val_list.txt"),
+        stats_fpath=str(tmp_path / "stats.json"),
+        model_dir=str(tmp_path / "models"),
+        img_side=TINY.im_side,
+        train_steps=1000,
+        save_freq=5,
+        val_batch_size=2,
+        learn_rate=1e-3,
+        l2_coeff=1e-4,
+        **kw,
+    )
+
+
+def test_trainer_end_to_end_and_resume(data_dir):
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),))
+    state = Trainer(tc, cfg).train(total_steps=11, log_every=100)
+    assert int(state.step) == 11
+
+    # stats JSON has the reference schema and at least 2 validation entries
+    stats = json.load(open(tc.stats_fpath))
+    assert len(stats) >= 2
+    assert set(stats[0]) == {"step", "accuracy", "precisions", "recalls", "f-scores"}
+
+    # acc-named keep-all checkpoints exist
+    ckpts = os.listdir(tc.model_dir)
+    assert len(ckpts) >= 2
+    assert all(c.startswith("roomnet--") for c in ckpts)
+
+    # resume: a fresh Trainer continues from the latest step
+    state2 = Trainer(tc, cfg).train(total_steps=3, log_every=100)
+    assert int(state2.step) > 11
+
+
+def test_phase_schedule_selection():
+    phases = TrainConfig.reference_curriculum(total_steps=400)
+    assert phase_at(phases, 0).batch_size == 8
+    assert phase_at(phases, 150).batch_size == 32
+    assert phase_at(phases, 250).batch_size == 40
+    assert phase_at(phases, 399).batch_size == 45
+    assert phase_at(phases, 10 ** 9).batch_size == 45
+    # BN freeze curriculum: batch stats on early, frozen late (README.md:34-38)
+    assert phase_at(phases, 0).compute_bn_mean_var
+    assert not phase_at(phases, 399).compute_bn_mean_var
