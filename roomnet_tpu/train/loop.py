@@ -224,11 +224,21 @@ class Trainer:
             seed=tc.seed,
         )
         rng = jax.random.PRNGKey(tc.seed + 1)
+        # Device prefetch: keep the next batch's host->device copy in flight
+        # while the current step computes (generator.py:159-163's queue,
+        # extended across the PCIe/ICI boundary).
+        pending = None  # (x_dev, y_dev) already on device
+
+        def fetch_next():
+            x, y = train_reader.dequeue()
+            return jax.device_put(x), jax.device_put(y)
+
         try:
             for it in range(start_step, start_step + total_steps):
                 new_ph = phase_at(tc.phases, it)
                 if new_ph.batch_size != ph.batch_size:
                     train_reader.close()
+                    pending = None
                     train_reader = TrainFeeder(
                         train_txt, batch_size=new_ph.batch_size,
                         batches_per_queue=tc.batches_per_queue, shuffle=True,
@@ -249,10 +259,14 @@ class Trainer:
                     with open(tc.stats_fpath, "w") as f:
                         json.dump(all_stats, f, indent=4, sort_keys=True)
                     print(f"Validated at step {state.step}: acc {entry['accuracy']:.4f}")
-                x, y = train_reader.dequeue()
+                x, y = pending if pending is not None else fetch_next()
+                pending = None
                 rng, sub = jax.random.split(rng)
                 t0 = time.perf_counter()
                 state, metrics = self._step_fn(ph)(state, x, y, sub)
+                # While the (async-dispatched) step runs, stage next batch.
+                if it + 1 < start_step + total_steps:
+                    pending = fetch_next()
                 if it % log_every == 0:
                     loss = float(metrics["loss"])
                     lr = float(metrics["learn_rate"])

@@ -83,3 +83,21 @@ def test_export_inference_strips_opt_state(tmp_path, variables):
     raw = dict(np.load(out))
     assert not any(k.startswith("opt/") for k in raw)
     assert param_count(schema.unflatten_variables(raw, TINY)) == param_count(variables)
+
+
+def test_orbax_backend_roundtrip(tmp_path, variables):
+    ocp = pytest.importorskip("orbax.checkpoint")
+    del ocp
+    from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
+
+    store = OrbaxCheckpointStore(str(tmp_path / "orbax"), async_save=False)
+    store.save(variables, 12, suffix="0.88", opt_state_flat={"count": np.asarray(3)})
+    assert "--0.88--12" in store.latest_path()
+    var_flat, step, opt = store.load(cfg=TINY, with_opt_state=True)
+    assert step == 12 and int(opt["count"]) == 3
+    want = schema.flatten_variables(variables)
+    for k in want:
+        np.testing.assert_array_equal(var_flat[k], want[k])
+    # partial restore drops the head here too
+    var_flat2, _ = store.load(cfg=TINY, restore_head=False)
+    assert not any(k.startswith("dense/") for k in var_flat2)
