@@ -271,9 +271,18 @@ class TrainFeeder:
 
     # -- consumer ----------------------------------------------------------
     def dequeue(self) -> tuple[np.ndarray, np.ndarray]:
+        from roomnet_tpu.utils.logging import get_logger
+
         x, y, paths, state = self._q.get()
         self.batch_fpaths = paths
         self.train_state = state
+        if state["previous_epoch_done"]:
+            # Epoch-boundary INFO log, like reference generator.py:168-171.
+            get_logger("loader").info(
+                "EPOCH %d COMPLETE (%d batches/epoch)",
+                state["epoch"] - 1,
+                self.batches_per_epoch,
+            )
         return x, y
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
