@@ -55,7 +55,7 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-bool decode_jpeg(FILE* f, Image* out, bool header_only) {
+bool decode_jpeg(FILE* f, Image* out, bool header_only, int min_decode_side) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -77,6 +77,17 @@ bool decode_jpeg(FILE* f, Image* out, bool header_only) {
     return out->h > 0 && out->w > 0;
   }
   cinfo.out_color_space = JCS_RGB;
+  if (min_decode_side > 0) {
+    // DCT-domain scaled decode (libjpeg 1/2, 1/4, 1/8): pick the largest
+    // reduction that keeps min(h,w) >= min_decode_side. ~4-8x faster than
+    // full decode when the target is much smaller than the source — a
+    // decoder capability cv2.imread cannot express (serving fast path).
+    const int min_side = std::min(out->h, out->w);
+    int denom = 1;
+    while (denom < 8 && min_side / (denom * 2) >= min_decode_side) denom *= 2;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = static_cast<unsigned>(denom);
+  }
   jpeg_start_decompress(&cinfo);
   const int w = static_cast<int>(cinfo.output_width);
   const int h = static_cast<int>(cinfo.output_height);
@@ -156,7 +167,8 @@ bool decode_png(FILE* f, Image* out, bool header_only) {
   return true;
 }
 
-bool decode_any(const char* path, Image* out, bool header_only) {
+bool decode_any(const char* path, Image* out, bool header_only,
+                int min_decode_side = 0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   uint8_t magic[8] = {0};
@@ -164,9 +176,9 @@ bool decode_any(const char* path, Image* out, bool header_only) {
   rewind(f);
   bool ok = false;
   if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, out, header_only);
+    ok = decode_jpeg(f, out, header_only, min_decode_side);
   } else if (n >= 8 && magic[0] == 0x89 && magic[1] == 'P') {
-    ok = decode_png(f, out, header_only);
+    ok = decode_png(f, out, header_only);  // PNG: no scaled decode
   }
   fclose(f);
   return ok;
@@ -238,19 +250,47 @@ int rn_probe(const char* path, int* h, int* w) {
 
 // Decode + crop window (cx,cy,cw,ch) + resize to out_side + flips.
 // crop values of (-1,...) mean "full image". Returns 1 on success.
-int rn_load_preprocess(const char* path, int cx, int cy, int cw, int ch,
-                       int out_side, int flip_lr, int flip_ud, uint8_t* out) {
+// min_decode_side > 0 enables DCT-scaled JPEG decode (serving fast path);
+// crop coords are in ORIGINAL image space and are rescaled to the decoded
+// resolution (probe() reports original dims).
+int rn_load_preprocess_scaled(const char* path, int cx, int cy, int cw,
+                              int ch, int out_side, int flip_lr, int flip_ud,
+                              int min_decode_side, uint8_t* out) {
   Image im;
-  if (!decode_any(path, &im, /*header_only=*/false)) return 0;
+  int orig_h = 0, orig_w = 0;
+  {
+    Image hdr;
+    if (!decode_any(path, &hdr, /*header_only=*/true)) return 0;
+    orig_h = hdr.h;
+    orig_w = hdr.w;
+  }
+  if (!decode_any(path, &im, /*header_only=*/false, min_decode_side)) return 0;
   if (cx < 0) {
     cx = 0;
     cy = 0;
-    cw = im.w;
-    ch = im.h;
+    cw = orig_w;
+    ch = orig_h;
+  }
+  if (im.w != orig_w || im.h != orig_h) {
+    // Rescale the crop window into decoded coordinates.
+    const double sx = static_cast<double>(im.w) / orig_w;
+    const double sy = static_cast<double>(im.h) / orig_h;
+    cx = static_cast<int>(cx * sx);
+    cy = static_cast<int>(cy * sy);
+    cw = std::max(1, static_cast<int>(cw * sx));
+    ch = std::max(1, static_cast<int>(ch * sy));
+    cw = std::min(cw, im.w - cx);
+    ch = std::min(ch, im.h - cy);
   }
   if (cx + cw > im.w || cy + ch > im.h || cw <= 0 || ch <= 0) return 0;
   crop_resize_flip(im, cx, cy, cw, ch, out_side, flip_lr, flip_ud, out);
   return 1;
+}
+
+int rn_load_preprocess(const char* path, int cx, int cy, int cw, int ch,
+                       int out_side, int flip_lr, int flip_ud, uint8_t* out) {
+  return rn_load_preprocess_scaled(path, cx, cy, cw, ch, out_side, flip_lr,
+                                   flip_ud, /*min_decode_side=*/0, out);
 }
 
 // Full decode into caller buffer (h*w*3 BGR); two-phase with rn_probe.
@@ -267,7 +307,7 @@ int rn_decode(const char* path, uint8_t* out, int h, int w) {
 // ok[i] set to 1/0 per image. Returns the success count.
 int rn_load_preprocess_batch(const char** paths, int n, const int* crops,
                              int out_side, const int* flips, uint8_t* out,
-                             int* ok, int nthreads) {
+                             int* ok, int nthreads, int min_decode_side) {
   if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
   nthreads = std::max(1, std::min(nthreads, n));
   std::atomic<int> next(0), good(0);
@@ -276,10 +316,10 @@ int rn_load_preprocess_batch(const char** paths, int n, const int* crops,
       const int i = next.fetch_add(1);
       if (i >= n) return;
       uint8_t* dst = out + static_cast<size_t>(i) * out_side * out_side * 3;
-      const int r = rn_load_preprocess(paths[i], crops[4 * i], crops[4 * i + 1],
-                                       crops[4 * i + 2], crops[4 * i + 3],
-                                       out_side, flips[2 * i], flips[2 * i + 1],
-                                       dst);
+      const int r = rn_load_preprocess_scaled(
+          paths[i], crops[4 * i], crops[4 * i + 1], crops[4 * i + 2],
+          crops[4 * i + 3], out_side, flips[2 * i], flips[2 * i + 1],
+          min_decode_side, dst);
       ok[i] = r;
       if (r) {
         good.fetch_add(1);

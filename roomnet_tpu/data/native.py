@@ -53,6 +53,9 @@ def _load():
     lib.rn_load_preprocess.argtypes = [
         ctypes.c_char_p] + [ctypes.c_int] * 7 + [ctypes.POINTER(ctypes.c_ubyte)]
     lib.rn_load_preprocess.restype = ctypes.c_int
+    lib.rn_load_preprocess_scaled.argtypes = [
+        ctypes.c_char_p] + [ctypes.c_int] * 8 + [ctypes.POINTER(ctypes.c_ubyte)]
+    lib.rn_load_preprocess_scaled.restype = ctypes.c_int
     lib.rn_decode.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_ubyte),
@@ -68,6 +71,7 @@ def _load():
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_ubyte),
         ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
         ctypes.c_int,
     ]
     lib.rn_load_preprocess_batch.restype = ctypes.c_int
@@ -95,12 +99,19 @@ def load_preprocess(
     out_side: int,
     flip_lr: bool = False,
     flip_ud: bool = False,
+    min_decode_side: int = 0,
 ) -> np.ndarray | None:
-    """Decode+crop+resize+flip one image -> (S,S,3) BGR uint8, or None."""
+    """Decode+crop+resize+flip one image -> (S,S,3) BGR uint8, or None.
+
+    min_decode_side > 0 enables DCT-scaled JPEG decode (1/2..1/8) — up to
+    8x faster when the source is much larger than the target; pixels differ
+    slightly from the full-decode path (serving fast path, not training
+    parity). Crop coords remain in original-image space.
+    """
     lib = _load()
     out = np.empty((out_side, out_side, 3), np.uint8)
     cx, cy, cw, ch = crop if crop is not None else (-1, -1, -1, -1)
-    ok = lib.rn_load_preprocess(
+    ok = lib.rn_load_preprocess_scaled(
         path.encode(),
         cx,
         cy,
@@ -109,6 +120,7 @@ def load_preprocess(
         out_side,
         int(flip_lr),
         int(flip_ud),
+        int(min_decode_side),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     return out if ok else None
@@ -120,6 +132,7 @@ def load_preprocess_batch(
     out_side: int,
     flips: np.ndarray,  # (n,2) int32
     nthreads: int = 0,
+    min_decode_side: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batch fused pipeline -> ((n,S,S,3) uint8, ok bool mask)."""
     lib = _load()
@@ -138,5 +151,6 @@ def load_preprocess_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         nthreads,
+        int(min_decode_side),
     )
     return out, ok.astype(bool)

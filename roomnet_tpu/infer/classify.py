@@ -48,13 +48,18 @@ class RoomNetClassifier:
         class_labels: list[str] | None = None,
         mesh=None,
         decode_workers: int | None = None,
+        fast_decode: bool = False,
     ):
+        """fast_decode: DCT-scaled JPEG decode in the native data-plane
+        (up to 8x less decode work for large sources; slight pixel deltas —
+        serving mode, not parity mode). Needs the csrc/ library."""
         self.variables = variables
         self.cfg = cfg
         self.batch_size = batch_size
         self.class_labels = class_labels or CLASS_LABELS
         self.mesh = mesh
         self.decode_workers = decode_workers or min(32, (os.cpu_count() or 8) * 2)
+        self.min_decode_side = cfg.im_side if fast_decode else 0
 
         def _predict(variables, x_uint8_bgr):
             logits = forward(variables, normalize_bgr_uint8(x_uint8_bgr), cfg)
@@ -86,7 +91,10 @@ class RoomNetClassifier:
             from roomnet_tpu.data.loader import draw_crop_rect
 
             crop = draw_crop_rect(h, w, random_crop=False, rng=None)
-            return native.load_preprocess(fpath, crop, self.cfg.im_side)
+            return native.load_preprocess(
+                fpath, crop, self.cfg.im_side,
+                min_decode_side=self.min_decode_side,
+            )
 
         import cv2
 

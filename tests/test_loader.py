@@ -159,3 +159,30 @@ def test_native_probe_and_decode(tmp_path):
     assert native.probe(str(tmp_path / "nope.png")) is None
     out = native.load_preprocess(p, None, 16)
     assert out is not None and out.shape == (16, 16, 3)
+
+
+def test_native_fast_decode_jpeg(tmp_path):
+    """DCT-scaled decode: right shape, close to the exact path on smooth
+    content, and identical when no downscale applies."""
+    from roomnet_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    d = tmp_path / "d"
+    d.mkdir()
+    # smooth gradient content, large source
+    yy, xx = np.mgrid[0:1024, 0:1280]
+    im = np.stack([(yy // 4) % 256, (xx // 5) % 256, ((yy + xx) // 8) % 256], -1)
+    p = str(d / "big.jpg")
+    cv2.imwrite(p, im.astype(np.uint8), [cv2.IMWRITE_JPEG_QUALITY, 95])
+    exact = native.load_preprocess(p, (128, 0, 1024, 1024), 224)
+    fast = native.load_preprocess(p, (128, 0, 1024, 1024), 224, min_decode_side=224)
+    assert fast.shape == (224, 224, 3)
+    diff = np.abs(exact.astype(int) - fast.astype(int))
+    assert diff.mean() < 4.0, diff.mean()
+    # source already small: no scaling possible, bit-identical
+    small = str(d / "small.jpg")
+    cv2.imwrite(small, im[:256, :256].astype(np.uint8))
+    a = native.load_preprocess(small, None, 224)
+    b = native.load_preprocess(small, None, 224, min_decode_side=224)
+    np.testing.assert_array_equal(a, b)
