@@ -110,6 +110,19 @@ def cmd_export(args):
     print("exported:", out)
 
 
+def cmd_serve(args):
+    from roomnet_tpu.infer.classify import RoomNetClassifier
+    from roomnet_tpu.infer.server import ClassifierServer
+    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
+
+    cfg = DEFAULT_CONFIG if args.exact else FAST_CONFIG
+    clf = RoomNetClassifier(
+        _load_variables(args.params), cfg, batch_size=args.batch_size
+    )
+    print(f"serving on http://{args.host}:{args.port}  (POST /classify)")
+    ClassifierServer(clf, host=args.host, port=args.port).serve_forever()
+
+
 def cmd_bench(args):
     import bench  # repo-root bench.py
 
@@ -177,6 +190,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--params", default="artifacts/roomnet_params.npz")
     e.add_argument("--out", default="artifacts/roomnet.tflite")
     e.set_defaults(fn=cmd_export)
+
+    s = sub.add_parser("serve", help="HTTP classification daemon")
+    s.add_argument("--params", default="artifacts/roomnet_params.npz")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--batch-size", type=int, default=32)
+    s.add_argument("--exact", action="store_true")
+    s.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="run the benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -20,6 +20,7 @@ def test_cli_parses_all_subcommands():
         ["plot"],
         ["plot-checkpoints", "--model-dir", "/m"],
         ["label", "--in-dir", "/x"],
+        ["serve", "--port", "0"],
         ["export"],
         ["bench"],
     ]:

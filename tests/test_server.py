@@ -1,0 +1,93 @@
+"""Serving daemon: health, labels, classify, error handling, concurrency."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from roomnet_tpu.infer.classify import RoomNetClassifier
+from roomnet_tpu.infer.server import ClassifierServer
+from roomnet_tpu.models.roomnet import init_variables
+from tests.tiny import TINY
+
+cv2 = pytest.importorskip("cv2")
+
+LABELS4 = ["A", "B", "C", "D"]
+
+
+@pytest.fixture(scope="module")
+def server():
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(0), TINY), TINY,
+        batch_size=4, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _url(server, path):
+    return f"http://127.0.0.1:{server.port}{path}"
+
+
+def _post(server, path, body: bytes):
+    req = urllib.request.Request(_url(server, path), data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _img_bytes(seed=0):
+    rng = np.random.RandomState(seed)
+    im = rng.randint(0, 255, (60, 80, 3), np.uint8)
+    ok, buf = cv2.imencode(".png", im)
+    assert ok
+    return buf.tobytes()
+
+
+def test_health_and_labels(server):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=10) as r:
+        assert r.status == 200
+    with urllib.request.urlopen(_url(server, "/labels"), timeout=10) as r:
+        assert json.loads(r.read()) == LABELS4
+
+
+def test_classify_roundtrip(server):
+    status, out = _post(server, "/classify", _img_bytes())
+    assert status == 200
+    assert out["label"] in LABELS4
+    assert 0 < out["confidence"] <= 1
+    assert len(out["probs"]) == 4 and abs(sum(out["probs"]) - 1) < 1e-4
+    # deterministic: same image -> same answer
+    status2, out2 = _post(server, "/classify", _img_bytes())
+    assert out2 == out
+
+
+def test_classify_bad_payload(server):
+    status, out = _post(server, "/classify", b"this is not an image")
+    assert status == 400 and "error" in out
+
+
+def test_unknown_route(server):
+    status, _ = _post(server, "/nope", b"")
+    assert status == 404
+
+
+def test_concurrent_requests_microbatch(server):
+    results = {}
+
+    def hit(i):
+        results[i] = _post(server, "/classify", _img_bytes(seed=i))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 8
+    assert all(status == 200 for status, _ in results.values())
