@@ -119,3 +119,39 @@ if __name__ == "__main__":
     make_forward_golden()
     make_resize_golden()
     make_cv2_resize_golden()
+    make_layer_golden()
+
+
+def make_layer_golden():
+    """Per-layer taps from the reference graph (sliced small) — regression
+    fixtures so future kernel/fusion changes can be localized layer-by-layer
+    without TF. Taps: the BN output closing each conv block."""
+    import tensorflow.compat.v1 as tf
+
+    tf.disable_eager_execution()
+    g = dict(np.load(os.path.join(GOLDEN_DIR, "forward_golden.npz")))
+    x_norm = (
+        (g["x_uint8_bgr"][:2, :, :, ::-1].astype(np.float64) / 255.0) * 2.0 - 1.0
+    ).astype(np.float32)
+    taps = {
+        "b0_out": "batch_normalization/FusedBatchNorm:0",
+        "b1_out": "batch_normalization_4/FusedBatchNorm:0",
+        "b2_out": "batch_normalization_7/FusedBatchNorm:0",
+        "b3_out": "batch_normalization_8/FusedBatchNorm:0",
+        "b4_out": "batch_normalization_12/FusedBatchNorm:0",
+        "d2_out": "batch_normalization_15/batchnorm/add_1:0",
+    }
+    graph = tf.Graph()
+    with graph.as_default():
+        saver = tf.train.import_meta_graph(REF_CKPT + ".meta")
+        x_ph = graph.get_tensor_by_name("input_x_tensor:0")
+        tensors = {k: graph.get_tensor_by_name(v) for k, v in taps.items()}
+        with tf.Session(graph=graph) as sess:
+            saver.restore(sess, REF_CKPT)
+            vals = sess.run(tensors, feed_dict={x_ph: x_norm})
+    out = {}
+    for k, v in vals.items():
+        # slice to keep fixtures small but representative
+        out[k] = v[:, : min(8, v.shape[1] if v.ndim > 2 else v.shape[1])] if v.ndim == 2 else v[:, :8, :8, :]
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "layers_golden.npz"), **out)
+    print("layer golden:", {k: v.shape for k, v in out.items()})
