@@ -49,7 +49,10 @@ def cmd_train(args):
         from roomnet_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-    Trainer(tc, mesh=mesh).train()
+    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
+
+    cfg = FAST_CONFIG if args.precision == "bf16" else DEFAULT_CONFIG
+    Trainer(tc, cfg, mesh=mesh).train()
 
 
 def cmd_infer(args):
@@ -148,6 +151,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="README.md:34-38 batch/dropout/BN-freeze schedule")
     t.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
+    t.add_argument("--precision", choices=["bf16", "f32"], default="bf16",
+                   help="bf16 = fast mixed-precision (default; f32 params, "
+                        "bf16 compute); f32 = full-precision parity mode")
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="classify a directory (reference infer.py)")
