@@ -159,15 +159,21 @@ def classify_im_dir(
     all_im_paths = [p for p in all_im_paths if os.path.isfile(p)]
     out_dir = out_dir or (imgs_dir.rstrip(os.sep) + "_classified")
     xl_fpath = out_dir + "_results.xls"
+    csv_fpath = out_dir + "_results.csv"  # modern-tooling twin of the .xls
     for lbl in labels:
         force_makedir(os.path.join(out_dir, lbl))
 
     ids, confs, ok = classifier.predict_paths(all_im_paths)
 
+    import csv
+
     wb = Workbook()
     sheet = wb.add_sheet("classification_results")
     sheet.write(0, 0, "IMAGE_NAME")
     sheet.write(0, 1, "PREDICTED_LABEL")
+    csv_file = open(csv_fpath, "w", newline="")
+    csv_writer = csv.writer(csv_file)
+    csv_writer.writerow(["IMAGE_NAME", "PREDICTED_LABEL", "CONFIDENCE"])
     it = enumerate(all_im_paths)
     if progress:
         try:
@@ -199,6 +205,8 @@ def classify_im_dir(
         sheet.write(i + 1, 0, fname)
         sheet.write(i + 1, 1, pred_label)
         sheet.write(i + 1, 2, str(pred_conf))
+        csv_writer.writerow([fname, pred_label, pred_conf])
+    csv_file.close()
     wb.save(xl_fpath)
     return xl_fpath
 

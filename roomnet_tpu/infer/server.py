@@ -72,9 +72,14 @@ class ClassifierServer:
                     ok.append(True)
                 else:
                     ok.append(False)
-            ids, probs = clf._predict(clf.variables, batch)
-            ids = np.asarray(ids)
-            probs = np.asarray(probs)
+            try:
+                ids, probs = clf._predict(clf.variables, batch)
+                ids = np.asarray(ids)
+                probs = np.asarray(probs)
+            except Exception:  # device error: fail THESE requests, keep serving
+                for job in batch_jobs:
+                    job.event.set()
+                continue
             for i, job in enumerate(batch_jobs):
                 if ok[i]:
                     cid = int(ids[i])

@@ -138,3 +138,17 @@ def test_classifier_sharded_over_mesh(tmp_path):
     ids_b, confs_b, ok_b = sharded.predict_paths(paths)
     np.testing.assert_array_equal(ids_a, ids_b)
     np.testing.assert_allclose(confs_a, confs_b, rtol=1e-5, atol=1e-6)
+
+
+def test_classify_im_dir_writes_csv_twin(classifier, tmp_path):
+    import csv as csvmod
+
+    d = str(tmp_path / "imgs")
+    _write_images(d, 3)
+    classify_im_dir(classifier, d, overlay=False, progress=False)
+    csv_path = d.rstrip(os.sep) + "_classified_results.csv"
+    with open(csv_path) as f:
+        rows = list(csvmod.reader(f))
+    assert rows[0] == ["IMAGE_NAME", "PREDICTED_LABEL", "CONFIDENCE"]
+    assert len(rows) == 4
+    assert all(r[1] in LABELS4 and 0 < float(r[2]) <= 1 for r in rows[1:])
