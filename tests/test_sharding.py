@@ -112,3 +112,29 @@ def test_data_only_mesh_without_model_axis():
     """Odd device counts fall back to pure DP (model axis size 1)."""
     mesh = make_mesh(8, 1)
     assert mesh.devices.shape == (8, 1)
+
+
+def test_dp_batch_stats_bn_is_global(mesh8, batch):
+    """With use_batch_stats=True under DP sharding, BN statistics are
+    computed over the GLOBAL batch (XLA inserts the cross-device reduction)
+    — matching the reference's single-device whole-batch semantics, i.e.
+    free synchronized BN."""
+    variables = init_variables(jax.random.PRNGKey(0), TINY)
+    x, _ = batch
+
+    single = np.asarray(
+        forward(variables, normalize_bgr_uint8(jnp.asarray(x)), TINY, use_batch_stats=True)
+    )
+
+    data = batch_sharding(mesh8)
+    repl = NamedSharding(mesh8, P())
+    flat = {k: jax.device_put(v, repl) for k, v in schema.flatten_jax(variables).items()}
+    xd = jax.device_put(x, data)
+
+    @jax.jit
+    def fwd(flat, x):
+        v = schema.unflatten_jax(flat, TINY)
+        return forward(v, normalize_bgr_uint8(x), TINY, use_batch_stats=True)
+
+    sharded = np.asarray(fwd(flat, xd))
+    np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-5)
