@@ -79,3 +79,21 @@ def test_phase_schedule_selection():
     # BN freeze curriculum: batch stats on early, frozen late (README.md:34-38)
     assert phase_at(phases, 0).compute_bn_mean_var
     assert not phase_at(phases, 399).compute_bn_mean_var
+
+
+def test_trainer_curriculum_phase_transitions(data_dir):
+    """Cross batch-size phase boundaries: feeder re-created, BN mode flips,
+    steps keep counting (the reference README curriculum as data)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    phases = (
+        Phase(until_step=4, batch_size=2, compute_bn_mean_var=True,
+              update_bn_moving=True),
+        Phase(until_step=8, batch_size=4, dropout_enabled=True, dropout_rate=0.2,
+              compute_bn_mean_var=True, update_bn_moving=False),
+        Phase(until_step=1 << 62, batch_size=3, compute_bn_mean_var=False),
+    )
+    tc = dataclasses.replace(_tc(data_dir, phases=phases), save_freq=6)
+    state = Trainer(tc, cfg).train(total_steps=10, log_every=100)
+    assert int(state.step) == 10
