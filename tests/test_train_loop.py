@@ -97,3 +97,29 @@ def test_trainer_curriculum_phase_transitions(data_dir):
     tc = dataclasses.replace(_tc(data_dir, phases=phases), save_freq=6)
     state = Trainer(tc, cfg).train(total_steps=10, log_every=100)
     assert int(state.step) == 10
+
+
+def test_trainer_bitwise_deterministic(data_dir):
+    """Two fresh runs with the same seed produce identical parameters —
+    end-to-end reproducibility (seeded split, feeder, augment, dropout,
+    init; the reference offers none of this)."""
+    import dataclasses
+
+    import jax
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+
+    def run(tag):
+        tc = dataclasses.replace(
+            _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4,
+                                        dropout_enabled=True, dropout_rate=0.3),)),
+            model_dir=str(data_dir / f"models_{tag}"),
+            stats_fpath=str(data_dir / f"stats_{tag}.json"),
+        )
+        state = Trainer(tc, cfg).train(total_steps=6, log_every=100)
+        return jax.device_get(state.train_vars)
+
+    a = run("a")
+    b = run("b")
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
