@@ -132,3 +132,37 @@ def test_labeler_esc_aborts(tmp_path):
     keys = iter([ord("x"), ESC])
     lab = ImageLabeler(str(d), ui=lambda p: next(keys))
     assert lab.run_labeller() == 1  # labeled one, then aborted
+
+
+def test_device_prefetch_util():
+    from roomnet_tpu.data.loader import device_prefetch
+
+    batches = [(np.full((2, 4), i, np.uint8), np.full((2,), i, np.int32)) for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, (x, y) in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(x), batches[i][0])
+        np.testing.assert_array_equal(np.asarray(y), batches[i][1])
+
+
+def test_profiler_trace_capture(tmp_path):
+    from roomnet_tpu.utils import profiling
+
+    import jax.numpy as jnp
+
+    with profiling.trace_to(str(tmp_path / "trace")):
+        _ = jnp.sum(jnp.ones((16, 16))).block_until_ready()
+    files = list((tmp_path / "trace").rglob("*"))
+    assert files, "no trace files written"
+
+
+def test_event_log(tmp_path):
+    from roomnet_tpu.utils.logging import EventLog
+
+    log = EventLog(str(tmp_path / "events.jsonl"))
+    log.emit("step", loss=1.5, step=3)
+    log.emit("val", accuracy=0.9)
+    lines = [json.loads(l) for l in open(tmp_path / "events.jsonl")]
+    assert lines[0]["kind"] == "step" and lines[0]["loss"] == 1.5
+    assert lines[1]["accuracy"] == 0.9
+    EventLog(None).emit("noop")  # disabled sink is a no-op
