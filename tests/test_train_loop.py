@@ -123,3 +123,24 @@ def test_trainer_bitwise_deterministic(data_dir):
     b = run("b")
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+
+def test_trainer_with_data_parallel_mesh(data_dir):
+    """Trainer over an 8-device DP mesh: compiles with in_shardings and
+    matches the step count; batch sizes stay divisible by the data axis."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=8),)),
+        model_dir=str(data_dir / "models_dp"),
+        stats_fpath=str(data_dir / "stats_dp.json"),
+    )
+    state = Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(total_steps=4, log_every=100)
+    assert int(state.step) == 4
