@@ -258,13 +258,19 @@ int rn_load_preprocess_scaled(const char* path, int cx, int cy, int cw,
                               int min_decode_side, uint8_t* out) {
   Image im;
   int orig_h = 0, orig_w = 0;
-  {
+  if (min_decode_side > 0) {
+    // Scaled decode changes dimensions; remember the originals so the
+    // caller's crop rect (original-image space) can be rescaled.
     Image hdr;
     if (!decode_any(path, &hdr, /*header_only=*/true)) return 0;
     orig_h = hdr.h;
     orig_w = hdr.w;
   }
   if (!decode_any(path, &im, /*header_only=*/false, min_decode_side)) return 0;
+  if (min_decode_side <= 0) {
+    orig_h = im.h;
+    orig_w = im.w;
+  }
   if (cx < 0) {
     cx = 0;
     cy = 0;
