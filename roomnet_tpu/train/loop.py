@@ -68,6 +68,9 @@ class TrainConfig:
     seed: int = 0
     restore_head: bool = True  # False = reference's fresh-dense-head restore
     phases: tuple[Phase, ...] = (Phase(until_step=1 << 62),)
+    # Failure detection: warn when no step completes for this long
+    # (0 disables). See utils/watchdog.py.
+    stall_timeout_s: float = 600.0
 
     # README.md:34-38 curriculum as data (approximate step boundaries):
     @staticmethod
@@ -223,6 +226,11 @@ class Trainer:
             shuffle=False, im_side=tc.img_side, random_crop=False, preprocess=False,
             seed=tc.seed,
         )
+        from roomnet_tpu.utils.watchdog import StepWatchdog
+
+        watchdog = StepWatchdog(tc.stall_timeout_s) if tc.stall_timeout_s else None
+        if watchdog:
+            watchdog.start()
         rng = jax.random.PRNGKey(tc.seed + 1)
         # Device prefetch: keep the next batch's host->device copy in flight
         # while the current step computes (generator.py:159-163's queue,
@@ -267,6 +275,8 @@ class Trainer:
                 # While the (async-dispatched) step runs, stage next batch.
                 if it + 1 < start_step + total_steps:
                     pending = fetch_next()
+                if watchdog:
+                    watchdog.beat(it)
                 if it % log_every == 0:
                     loss = float(metrics["loss"])
                     lr = float(metrics["learn_rate"])
@@ -274,6 +284,8 @@ class Trainer:
                     print(f"Step {int(state.step)} loss = {loss:.5f} "
                           f"learn_rate = {lr:.3e} ({dt * 1e3:.1f} ms)")
         finally:
+            if watchdog:
+                watchdog.stop()
             train_reader.close()
             val_reader.close()
         return state
