@@ -101,3 +101,16 @@ def test_orbax_backend_roundtrip(tmp_path, variables):
     # partial restore drops the head here too
     var_flat2, _ = store.load(cfg=TINY, restore_head=False)
     assert not any(k.startswith("dense/") for k in var_flat2)
+
+
+def test_orbax_async_save_waits(tmp_path, variables):
+    pytest.importorskip("orbax.checkpoint")
+    from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
+
+    store = OrbaxCheckpointStore(str(tmp_path / "orbax_async"), async_save=True)
+    store.save(variables, 5, suffix="0.7")
+    store.wait()  # async write must land before load
+    var_flat, step = store.load(cfg=TINY)
+    assert step == 5
+    want = schema.flatten_variables(variables)
+    np.testing.assert_array_equal(var_flat["dense/0/kernel"], want["dense/0/kernel"])

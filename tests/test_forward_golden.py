@@ -73,3 +73,15 @@ def test_geometry_matches_survey():
         [21, 8, 2],
     ]
     assert DEFAULT_CONFIG.flat_len == 64
+
+
+def test_bf16_serving_mode_argmax_parity(forward_golden, converted_variables):
+    """FAST_CONFIG (bf16 single-pass MXU) must keep exact argmax parity with
+    the reference graph on the golden batch (the serving-mode contract;
+    measured |dlogit| <= 0.08)."""
+    from roomnet_tpu.models.roomnet import FAST_CONFIG
+
+    x = normalize_bgr_uint8(jnp.asarray(forward_golden["x_uint8_bgr"]))
+    logits = np.asarray(forward(converted_variables, x, FAST_CONFIG))
+    np.testing.assert_array_equal(logits.argmax(-1), forward_golden["argmax"])
+    assert np.abs(logits - forward_golden["logits"]).max() < 0.15
