@@ -34,6 +34,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from roomnet_tpu.models.roomnet import (
         FAST_CONFIG,
         forward,
