@@ -116,18 +116,21 @@ class RoomNetClassifier:
         ids = np.full(n, -1, np.int64)
         confs = np.zeros((n, len(self.class_labels)), np.float32)
         bs = self.batch_size
-        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
-            # Pipeline: decode batch i+1 while batch i runs on device.
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool, \
+                ThreadPoolExecutor(max_workers=1) as orchestrator:
+            # True pipelining: while the device processes batch i (and we
+            # block fetching its results), a single orchestrator thread
+            # drives the decode of batch i+1 on the worker pool.
             def decode_batch(start):
                 idxs = list(range(start, min(start + bs, n)))
                 ims = list(pool.map(self._load, [fpaths[i] for i in idxs]))
                 return idxs, ims
 
-            pending = decode_batch(0) if n else None
+            fut = orchestrator.submit(decode_batch, 0) if n else None
             start = bs
-            while pending is not None:
-                idxs, ims = pending
-                pending = decode_batch(start) if start < n else None
+            while fut is not None:
+                idxs, ims = fut.result()
+                fut = orchestrator.submit(decode_batch, start) if start < n else None
                 start += bs
                 ok = [i for i, im in zip(idxs, ims) if im is not None]
                 kept = [im for im in ims if im is not None]

@@ -236,10 +236,18 @@ class Trainer:
         # while the current step computes (generator.py:159-163's queue,
         # extended across the PCIe/ICI boundary).
         pending = None  # (x_dev, y_dev) already on device
+        batch_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(self.mesh, P("data"))
 
         def fetch_next():
             x, y = train_reader.dequeue()
-            return jax.device_put(x), jax.device_put(y)
+            return (
+                jax.device_put(x, batch_sharding),
+                jax.device_put(y, batch_sharding),
+            )
 
         try:
             for it in range(start_step, start_step + total_steps):
@@ -275,11 +283,14 @@ class Trainer:
                 # While the (async-dispatched) step runs, stage next batch.
                 if it + 1 < start_step + total_steps:
                     pending = fetch_next()
-                if watchdog:
-                    watchdog.beat(it)
                 if it % log_every == 0:
+                    # float() forces completion — only then is the heartbeat
+                    # meaningful (dispatch alone returns even off a wedged
+                    # device session).
                     loss = float(metrics["loss"])
                     lr = float(metrics["learn_rate"])
+                    if watchdog:
+                        watchdog.beat(it)
                     dt = time.perf_counter() - t0
                     print(f"Step {int(state.step)} loss = {loss:.5f} "
                           f"learn_rate = {lr:.3e} ({dt * 1e3:.1f} ms)")
