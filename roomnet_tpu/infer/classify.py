@@ -121,9 +121,35 @@ class RoomNetClassifier:
             # True pipelining: while the device processes batch i (and we
             # block fetching its results), a single orchestrator thread
             # drives the decode of batch i+1 on the worker pool.
+            from roomnet_tpu.data import native
+
+            use_native_batch = native.available()
+
             def decode_batch(start):
                 idxs = list(range(start, min(start + bs, n)))
-                ims = list(pool.map(self._load, [fpaths[i] for i in idxs]))
+                paths = [fpaths[i] for i in idxs]
+                if use_native_batch:
+                    # One C call: probes (threaded) -> center crops -> fused
+                    # decode/crop/resize batch with internal thread pool.
+                    from roomnet_tpu.data.loader import draw_crop_rect
+
+                    probes = list(pool.map(native.probe, paths))
+                    m = len(paths)
+                    crops = np.full((m, 4), -1, np.int32)
+                    for k, pr in enumerate(probes):
+                        if pr is not None:
+                            crops[k] = draw_crop_rect(
+                                pr[0], pr[1], random_crop=False, rng=None
+                            )
+                    batch, ok_mask = native.load_preprocess_batch(
+                        paths, crops, self.cfg.im_side,
+                        np.zeros((m, 2), np.int32),
+                        min_decode_side=self.min_decode_side,
+                    )
+                    ok_mask &= np.array([pr is not None for pr in probes])
+                    ims = [batch[k] if ok_mask[k] else None for k in range(m)]
+                    return idxs, ims
+                ims = list(pool.map(self._load, paths))
                 return idxs, ims
 
             fut = orchestrator.submit(decode_batch, 0) if n else None
