@@ -186,17 +186,26 @@ class Trainer:
 
     # -- validation ---------------------------------------------------------
     def run_validation(self, state: TrainState, val_reader: TrainFeeder):
-        """Full val epoch exactly like reference train.py:135-145 (the last
-        dequeued batch — first of the next epoch — is trimmed)."""
+        """Infer one full val epoch (reference train.py:135-145 semantics:
+        the last dequeued batch — first of the next epoch — is trimmed).
+
+        Robustness fix over the reference: its loop exits BEFORE inferring
+        when the first dequeued batch itself carries the epoch-boundary
+        flag (possible whenever a boundary lands at the queue head, certain
+        when the val set fits in one batch) — yielding zero predictions.
+        Here the boundary check runs after at least one batch is inferred.
+        """
         infer = self.infer_fn()
         x_val, y_val = val_reader.dequeue()
         y_vals = list(y_val)
         y_preds: list[int] = []
-        while not val_reader.train_state["previous_epoch_done"]:
+        while True:
             y_pred = infer(state.train_vars, state.frozen_vars, x_val)
             y_preds += list(np.asarray(y_pred))
             x_val, y_val = val_reader.dequeue()
             y_vals += list(y_val)
+            if val_reader.train_state["previous_epoch_done"]:
+                break
         y_vals = y_vals[: len(y_preds)]
         return y_vals, y_preds
 

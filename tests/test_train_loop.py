@@ -144,3 +144,34 @@ def test_trainer_with_data_parallel_mesh(data_dir):
     )
     state = Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(total_steps=4, log_every=100)
     assert int(state.step) == 4
+
+
+def test_validation_single_batch_epoch_counts_predictions(data_dir):
+    """Regression: when the whole val set fits in ONE batch, the epoch
+    boundary flag rides the first dequeued batch and the reference-style
+    loop would infer NOTHING (accuracy 0.0 artifact). Ours must return one
+    prediction per val sample."""
+    import dataclasses
+
+    from roomnet_tpu.data.loader import TrainFeeder
+    from roomnet_tpu.train.loop import Trainer
+
+    from roomnet_tpu.data.dataset import extract_fpaths
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),))
+    extract_fpaths(tc.data_dir, tc.train_list_fpath, tc.val_list_fpath,
+                   str(data_dir / "labels.json"), seed=0)
+    tr = Trainer(tc, cfg)
+    state = tr.init_state()
+    # val list = 2 classes x 1 leftover image each = 2 images; batch >= 2
+    with open(tc.val_list_fpath) as f:
+        n_val = len([l for l in f if l.strip()])
+    with TrainFeeder(
+        open(tc.val_list_fpath).readlines(), batch_size=64, batches_per_queue=4,
+        shuffle=False, im_side=cfg.im_side, random_crop=False, preprocess=False,
+    ) as val_reader:
+        assert val_reader.batches_per_epoch == 1  # whole set in one batch
+        for _ in range(3):  # repeat: boundary flag position varies per call
+            y_vals, y_preds = tr.run_validation(state, val_reader)
+            assert len(y_preds) >= n_val - 1 and len(y_vals) == len(y_preds)
