@@ -19,11 +19,22 @@ import json
 import sys
 
 
-def _load_variables(params_path: str):
+def _load_variables(params_path: str, model_dir: str | None = None):
+    """Load variables from a flat npz, or resume-latest from a checkpoint
+    dir (reference `nn.load()` behavior, network.py:108-118)."""
     import numpy as np
 
     from roomnet_tpu.params import schema
 
+    if model_dir:
+        from roomnet_tpu.params.checkpoint import CheckpointStore
+
+        loaded = CheckpointStore(model_dir).load()
+        if loaded is None:
+            raise FileNotFoundError(f"no checkpoints in {model_dir}")
+        var_flat, step = loaded
+        print(f"loaded checkpoint at step {step} from {model_dir}")
+        return schema.unflatten_variables(var_flat)
     return schema.unflatten_variables(dict(np.load(params_path)))
 
 
@@ -61,7 +72,7 @@ def cmd_infer(args):
 
     cfg = DEFAULT_CONFIG if args.exact else FAST_CONFIG
     clf = RoomNetClassifier(
-        _load_variables(args.params), cfg, batch_size=args.batch_size
+        _load_variables(args.params, args.model_dir), cfg, batch_size=args.batch_size
     )
     xl = classify_im_dir(clf, args.images_dir, overlay=not args.no_overlay)
     print("Results:", xl)
@@ -73,7 +84,7 @@ def cmd_validate(args):
 
     cfg = DEFAULT_CONFIG if args.exact else FAST_CONFIG
     clf = RoomNetClassifier(
-        _load_variables(args.params), cfg, batch_size=args.batch_size
+        _load_variables(args.params, args.model_dir), cfg, batch_size=args.batch_size
     )
     stats = groundtruth_validation(clf, args.list_file)
     print(json.dumps(stats, indent=2))
@@ -120,7 +131,7 @@ def cmd_serve(args):
 
     cfg = DEFAULT_CONFIG if args.exact else FAST_CONFIG
     clf = RoomNetClassifier(
-        _load_variables(args.params), cfg, batch_size=args.batch_size
+        _load_variables(args.params, args.model_dir), cfg, batch_size=args.batch_size
     )
     print(f"serving on http://{args.host}:{args.port}  (POST /classify)")
     ClassifierServer(clf, host=args.host, port=args.port).serve_forever()
@@ -159,6 +170,9 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("infer", help="classify a directory (reference infer.py)")
     i.add_argument("--images-dir", required=True)
     i.add_argument("--params", default="artifacts/roomnet_params.npz")
+    i.add_argument("--model-dir", default=None,
+                   help="resume-latest from a training checkpoint dir "
+                        "instead of --params")
     i.add_argument("--batch-size", type=int, default=64)
     i.add_argument("--no-overlay", action="store_true")
     i.add_argument("--exact", action="store_true",
@@ -168,6 +182,9 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("validate", help="score a labeled list file")
     v.add_argument("--list-file", required=True)
     v.add_argument("--params", default="artifacts/roomnet_params.npz")
+    v.add_argument("--model-dir", default=None,
+                   help="resume-latest from a training checkpoint dir "
+                        "instead of --params")
     v.add_argument("--batch-size", type=int, default=64)
     v.add_argument("--exact", action="store_true")
     v.set_defaults(fn=cmd_validate)
@@ -199,6 +216,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("serve", help="HTTP classification daemon")
     s.add_argument("--params", default="artifacts/roomnet_params.npz")
+    s.add_argument("--model-dir", default=None,
+                   help="resume-latest from a training checkpoint dir "
+                        "instead of --params")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8000)
     s.add_argument("--batch-size", type=int, default=32)
