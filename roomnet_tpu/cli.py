@@ -120,7 +120,9 @@ def cmd_label(args):
 def cmd_export(args):
     from roomnet_tpu.params.export import export_tflite
 
-    out = export_tflite(_load_variables(args.params), args.out)
+    out = export_tflite(
+        _load_variables(args.params, getattr(args, "model_dir", None)), args.out
+    )
     print("exported:", out)
 
 
@@ -211,6 +213,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     e = sub.add_parser("export", help="export to TFLite via jax2tf")
     e.add_argument("--params", default="artifacts/roomnet_params.npz")
+    e.add_argument("--model-dir", default=None,
+                   help="resume-latest from a training checkpoint dir")
     e.add_argument("--out", default="artifacts/roomnet.tflite")
     e.set_defaults(fn=cmd_export)
 
