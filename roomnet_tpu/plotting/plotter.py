@@ -53,10 +53,23 @@ def plot_training_stats(
     order = np.argsort(steps)
     steps = steps[order]
     accs = np.array([s["accuracy"] for s in stats])[order]
+
+    def ragged(key):
+        # The reference's own committed stats file mixes 4-, 6- and 67-class
+        # entries (it was reused across datasets/runs); pad ragged rows with
+        # NaN — matplotlib leaves gaps — instead of crashing like a plain
+        # np.array() would.
+        rows = [s[key] for s in stats]
+        width = max(len(r) for r in rows)
+        arr = np.full((len(rows), width), np.nan)
+        for i, r in enumerate(rows):
+            arr[i, : len(r)] = r
+        return arr[order]
+
     per_class = {
-        "fscore": np.array([s["f-scores"] for s in stats])[order],
-        "recall": np.array([s["recalls"] for s in stats])[order],
-        "precision": np.array([s["precisions"] for s in stats])[order],
+        "fscore": ragged("f-scores"),
+        "recall": ragged("recalls"),
+        "precision": ragged("precisions"),
     }
 
     outputs = []
@@ -82,7 +95,7 @@ def plot_training_stats(
         for i in range(n):
             color = CLASS_COLORS[i % len(CLASS_COLORS)]
             plt.plot(steps, arr[:, i], "-", color=color, label=class_labels[i])
-            best = arr[:, i].argmax()
+            best = np.nanargmax(arr[:, i])  # NaN-padded ragged rows
             title += (
                 f"{class_labels[i]}---> model at step {steps[best]} "
                 f"with value {arr[best, i]}\n"

@@ -166,3 +166,18 @@ def test_event_log(tmp_path):
     assert lines[0]["kind"] == "step" and lines[0]["loss"] == 1.5
     assert lines[1]["accuracy"] == 0.9
     EventLog(None).emit("noop")  # disabled sink is a no-op
+
+
+def test_plotter_handles_reference_ragged_stats(tmp_path):
+    """The reference's committed all_train_stats.json mixes 4/6/67-class
+    entries; our plotter must render all 4 PNGs from it (the reference's own
+    plotter crashes on its own data under modern numpy)."""
+    import os
+
+    src = "/root/reference/all_train_stats.json"
+    if not os.path.exists(src):
+        pytest.skip("reference stats unavailable")
+    from roomnet_tpu.plotting.plotter import plot_training_stats
+
+    outs = plot_training_stats(src, str(tmp_path / "plots"))
+    assert len(outs) == 4 and all(os.path.getsize(o) > 10_000 for o in outs)
