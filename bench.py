@@ -115,12 +115,44 @@ def main():
     train_ips = TRAIN_BATCH * iters / (time.perf_counter() - t0)
     log(f"training: {train_ips:.0f} img/s (reference: {REF_TRAIN_IPS:.1f})")
 
+    # ---- end-to-end directory inference (decode -> device -> argmax) ------
+    e2e_ips = None
+    try:
+        import tempfile
+
+        import cv2
+
+        from roomnet_tpu.infer.classify import RoomNetClassifier
+
+        tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+        base = rng.randint(0, 256, (60, 80, 3), dtype=np.uint8)
+        paths = []
+        for i in range(512):
+            im = cv2.resize(base, (640, 480), interpolation=cv2.INTER_CUBIC)
+            im = np.clip(
+                im.astype(int) + rng.randint(-40, 40, (480, 640, 3)), 0, 255
+            ).astype(np.uint8)
+            p = os.path.join(tmp, f"img_{i:04d}.jpg")
+            cv2.imwrite(p, im, [cv2.IMWRITE_JPEG_QUALITY, 88])
+            paths.append(p)
+        clf = RoomNetClassifier(variables, cfg, batch_size=BATCH)
+        clf.predict_paths(paths[:4])  # warm compile
+        t0 = time.perf_counter()
+        _, _, ok = clf.predict_paths(paths)
+        e2e_ips = int(ok.sum()) / (time.perf_counter() - t0)
+        log(f"end-to-end directory inference: {e2e_ips:.0f} img/s")
+    except Exception as e:  # e2e is an extra; never fail the bench on it
+        log(f"e2e segment skipped: {type(e).__name__}: {e}")
+
     result = {
         "metric": "batched inference images/sec/chip @224x224 (bf16, batch 256)",
         "value": round(infer_ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(train_ips / REF_TRAIN_IPS, 2),
         "extras": {
+            "end_to_end_dir_inference_images_per_sec": (
+                round(e2e_ips, 1) if e2e_ips else None
+            ),
             "train_images_per_sec_batch45": round(train_ips, 1),
             "reference_train_images_per_sec_gtx1070": round(REF_TRAIN_IPS, 1),
             "p50_single_image_latency_ms": round(p50_ms, 3),

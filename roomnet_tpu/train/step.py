@@ -59,7 +59,10 @@ class TrainState(NamedTuple):
 
 def init_train_state(variables, hp: TrainHParams = TrainHParams()) -> TrainState:
     flat = schema.flatten_jax(variables)
-    flat = {k: jnp.asarray(v) for k, v in flat.items()}
+    # copy=True: the train step donates its state, which would otherwise
+    # delete buffers ALIASED with the caller's `variables` (jnp.asarray on a
+    # jnp array is a no-op) — leaving the caller with dead arrays.
+    flat = {k: jnp.array(v, copy=True) for k, v in flat.items()}
     train_vars, frozen_vars = schema.partition_flat(flat)
     opt = tf1_adam(
         exponential_decay(hp.learn_rate, hp.num_steps),

@@ -181,3 +181,22 @@ def test_plotter_handles_reference_ragged_stats(tmp_path):
 
     outs = plot_training_stats(src, str(tmp_path / "plots"))
     assert len(outs) == 4 and all(os.path.getsize(o) > 10_000 for o in outs)
+
+
+def test_registry_all_configs_forward(tmp_path):
+    """Every registered variant's forward executes (tiny batch) — except the
+    224/300/600 full models which are compile-heavy; those get geometry
+    validation only."""
+    import jax
+
+    from roomnet_tpu.models import registry
+    from roomnet_tpu.models.roomnet import forward, init_variables
+
+    for name in registry.names():
+        cfg = registry.get(name)
+        registry.validate(cfg)
+        if cfg.im_side > 64:
+            continue  # geometry validated; execution covered by goldens
+        v = init_variables(jax.random.PRNGKey(0), cfg)
+        out = forward(v, np.zeros((2, cfg.im_side, cfg.im_side, 3), np.float32), cfg)
+        assert out.shape == (2, cfg.num_classes)

@@ -129,3 +129,17 @@ def test_gradients_flow_to_all_trainables(batch):
     # ReLU6-clipped logits can dead-zone SOME units but not entire kernels
     # at init scale; every tensor should receive some gradient.
     assert zero_grads == [], zero_grads
+
+
+def test_donated_step_does_not_kill_caller_variables(batch):
+    """init_train_state must COPY: the donated step would otherwise delete
+    buffers aliased with the caller's variables pytree."""
+    hp = TrainHParams()
+    variables = init_variables(jax.random.PRNGKey(0), TINY)
+    state = init_train_state(variables, hp)
+    step = jax.jit(make_train_step(hp, TINY), donate_argnums=(0,))
+    x, y = batch
+    state, _ = step(state, x, y, jax.random.PRNGKey(0))
+    # caller's variables must still be alive and usable
+    out = forward(variables, jnp.zeros((1, TINY.im_side, TINY.im_side, 3)), TINY)
+    assert np.isfinite(np.asarray(out)).all()
