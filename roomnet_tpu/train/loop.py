@@ -71,6 +71,9 @@ class TrainConfig:
     # Failure detection: warn when no step completes for this long
     # (0 disables). See utils/watchdog.py.
     stall_timeout_s: float = 600.0
+    # Checkpoint backend: "npz" (default, portable flat files) or "orbax"
+    # (async, sharding-aware — use for multi-host/pod training).
+    ckpt_backend: str = "npz"
 
     # README.md:34-38 curriculum as data (approximate step boundaries):
     @staticmethod
@@ -107,7 +110,12 @@ class Trainer:
         self.tc = tc
         self.cfg = cfg
         self.mesh = mesh
-        self.store = CheckpointStore(tc.model_dir)
+        if tc.ckpt_backend == "orbax":
+            from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
+
+            self.store = OrbaxCheckpointStore(tc.model_dir)
+        else:
+            self.store = CheckpointStore(tc.model_dir)
         self._compiled: dict = {}
         self._infer_fn = None
 
@@ -306,6 +314,8 @@ class Trainer:
         finally:
             if watchdog:
                 watchdog.stop()
+            if hasattr(self.store, "wait"):
+                self.store.wait()  # flush async (orbax) checkpoint writes
             train_reader.close()
             val_reader.close()
         return state

@@ -175,3 +175,22 @@ def test_validation_single_batch_epoch_counts_predictions(data_dir):
         for _ in range(3):  # repeat: boundary flag position varies per call
             y_vals, y_preds = tr.run_validation(state, val_reader)
             assert len(y_preds) >= n_val - 1 and len(y_vals) == len(y_preds)
+
+
+def test_trainer_with_orbax_backend(data_dir):
+    """Full Trainer loop with the Orbax checkpoint backend: save + resume."""
+    import dataclasses
+
+    pytest.importorskip("orbax.checkpoint")
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),)),
+        model_dir=str(data_dir / "models_orbax"),
+        stats_fpath=str(data_dir / "stats_orbax.json"),
+        ckpt_backend="orbax",
+    )
+    state = Trainer(tc, cfg).train(total_steps=6, log_every=100)
+    assert int(state.step) == 6
+    # resume continues from the latest orbax checkpoint
+    state2 = Trainer(tc, cfg).train(total_steps=2, log_every=100)
+    assert int(state2.step) > 6
