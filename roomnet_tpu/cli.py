@@ -51,6 +51,7 @@ def cmd_train(args):
         img_side=args.img_side,
         seed=args.seed,
         restore_head=not args.fresh_head,
+        ckpt_backend=args.ckpt_backend,
     )
     if args.curriculum:
         kwargs["phases"] = TrainConfig.reference_curriculum(args.steps)
@@ -164,6 +165,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="README.md:34-38 batch/dropout/BN-freeze schedule")
     t.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
+    t.add_argument("--ckpt-backend", choices=["npz", "orbax"], default="npz",
+                   help="checkpoint store: portable npz or async orbax")
     t.add_argument("--precision", choices=["bf16", "f32"], default="bf16",
                    help="bf16 = fast mixed-precision (default; f32 params, "
                         "bf16 compute); f32 = full-precision parity mode")
