@@ -9,20 +9,20 @@ from roomnet_tpu.utils.watchdog import StepWatchdog
 
 def test_watchdog_fires_on_stall_and_recovers():
     fired = []
-    wd = StepWatchdog(timeout_s=0.2, on_stall=fired.append, check_interval_s=0.05)
+    wd = StepWatchdog(timeout_s=0.3, on_stall=fired.append, check_interval_s=0.05)
     with wd:
         wd.beat(1)
-        time.sleep(0.5)  # stall
+        time.sleep(1.0)  # stall
         assert wd.stall_count >= 1
         n = wd.stall_count
         wd.beat(2)  # heartbeat resumes
-        time.sleep(0.1)
+        time.sleep(0.15)
         assert wd.stall_count == n  # no new stall while beating
     assert fired and fired[0]["last_step"] == 1
 
 
 def test_watchdog_quiet_when_beating():
-    wd = StepWatchdog(timeout_s=0.3, check_interval_s=0.05)
+    wd = StepWatchdog(timeout_s=2.0, check_interval_s=0.05)
     with wd:
         for i in range(6):
             wd.beat(i)
