@@ -48,7 +48,7 @@ def tf1_adam(
             nu=jax.tree_util.tree_map(jnp.zeros_like, params),
         )
 
-    def update_fn(updates, state, params=None):
+    def update_fn(updates, state, params=None, *, step=None):
         del params
         count = state.count + 1
         mu = jax.tree_util.tree_map(
@@ -58,7 +58,13 @@ def tf1_adam(
             lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, updates
         )
         t = count.astype(jnp.float32)
-        lr = learning_rate(count - 1) if callable(learning_rate) else learning_rate
+        # The LR schedule clock is the GLOBAL step when given (reference
+        # network.py:124 restores step_ph from the checkpoint name, so the
+        # decay continues after a params-only / fresh-head restore even
+        # though Adam's moments reset); `count` is kept only for bias
+        # correction. Falls back to count-1 for standalone use.
+        sched_step = step if step is not None else count - 1
+        lr = learning_rate(sched_step) if callable(learning_rate) else learning_rate
         # TF1: lr_t = lr * sqrt(1 - b2^t) / (1 - b1^t); p -= lr_t * m/(sqrt(v)+eps)
         lr_t = lr * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
         new_updates = jax.tree_util.tree_map(

@@ -130,7 +130,10 @@ def make_train_step(
         (loss, (logits, bn_stats)), grads = jax.value_and_grad(
             loss_fn, argnums=0, has_aux=True
         )(state.train_vars, state.frozen_vars, x_norm, y, hp, cfg, rng)
-        updates, new_opt_state = opt.update(grads, state.opt_state)
+        # step=state.step: the schedule follows the restored global step, not
+        # Adam's moment count (they diverge after a params-only restore), so
+        # the applied LR and metrics["learn_rate"] share one clock.
+        updates, new_opt_state = opt.update(grads, state.opt_state, step=state.step)
         new_train_vars = jax.tree_util.tree_map(
             lambda p, u: p + u, state.train_vars, updates
         )

@@ -61,6 +61,22 @@ def test_tf1_adam_differs_from_optax_adam():
     assert not np.allclose(np.asarray(u1["w"]), np.asarray(u2["w"]), rtol=1e-3)
 
 
+def test_schedule_clock_is_global_step_not_moment_count():
+    """A params-only restore resets Adam's count to 0 but keeps the global
+    step; the applied LR must continue the decay from the global step
+    (reference network.py:124 restores step_ph), not restart at lr0."""
+    sched = exponential_decay(2e-4, 100_000)
+    opt = tf1_adam(sched)
+    g = {"w": jnp.ones(3)}
+    u0, _ = opt.update(g, opt.init(g), step=jnp.asarray(0))
+    u_mid, _ = opt.update(g, opt.init(g), step=jnp.asarray(50_000))
+    ratio = float(u_mid["w"][0] / u0["w"][0])
+    np.testing.assert_allclose(ratio, 0.068**0.5, rtol=1e-4)
+    # fallback without step= keeps the old count-based clock (t=1 -> step 0)
+    u_fallback, _ = opt.update(g, opt.init(g))
+    np.testing.assert_allclose(np.asarray(u_fallback["w"]), np.asarray(u0["w"]))
+
+
 def test_opt_state_flatten_roundtrip():
     opt = tf1_adam(1e-3)
     params = {"a/b": jnp.ones(3), "c": jnp.zeros((2, 2))}
