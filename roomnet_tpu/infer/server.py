@@ -8,6 +8,9 @@ forward warm, micro-batching concurrent requests onto the device.
 Endpoints:
   GET  /healthz            -> 200 "ok"
   GET  /labels             -> JSON list of class labels
+  GET  /metrics            -> JSON span registry (utils/profiling.SPANS):
+                              per-span total_s/count/mean_ms, incl.
+                              serve/device_call and serve/request
   POST /classify           -> body = raw image bytes (jpeg/png);
                               response JSON {label, class_id, confidence,
                               probs}
@@ -39,18 +42,34 @@ class _Job:
 
 class ClassifierServer:
     def __init__(self, classifier, host: str = "127.0.0.1", port: int = 8000,
-                 max_batch: int | None = None):
+                 max_batch: int | None = None, warmup: bool = False):
         self.classifier = classifier
         self.host = host
         self.port = port
-        self.max_batch = max_batch or classifier.batch_size
+        # The jitted _predict is compiled for exactly classifier.batch_size
+        # rows; coalescing more jobs than that would overflow the device
+        # batch, so clamp (a larger max_batch would otherwise IndexError in
+        # the worker and wedge every later request into its timeout).
+        self.max_batch = min(max_batch or classifier.batch_size,
+                             classifier.batch_size)
+        self.warmup = warmup
         self._jobs: queue.Queue[_Job] = queue.Queue()
         self._stop = threading.Event()
         self._httpd: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
 
     # -- device worker: micro-batches pending requests ----------------------
+    def _warmup(self):
+        """Compile + run the device path once so the first request doesn't
+        pay the (remote, tens-of-seconds) jit compile."""
+        clf = self.classifier
+        side = clf.cfg.im_side
+        batch = np.zeros((clf.batch_size, side, side, 3), np.uint8)
+        clf._predict(clf.variables, batch)
+
     def _worker(self):
+        from roomnet_tpu.utils.profiling import trace
+
         clf = self.classifier
         side = clf.cfg.im_side
         while not self._stop.is_set():
@@ -64,18 +83,22 @@ class ClassifierServer:
                     batch_jobs.append(self._jobs.get_nowait())
                 except queue.Empty:
                     break
-            batch = np.zeros((clf.batch_size, side, side, 3), np.uint8)
-            ok = []
-            for i, job in enumerate(batch_jobs):
-                if job.image is not None:
-                    batch[i] = job.image
-                    ok.append(True)
-                else:
-                    ok.append(False)
+            # Everything from assembly through the device call is inside one
+            # recover-and-continue handler: any failure fails THESE requests
+            # but never kills the worker thread.
             try:
-                ids, probs = clf._predict(clf.variables, batch)
-                ids = np.asarray(ids)
-                probs = np.asarray(probs)
+                batch = np.zeros((clf.batch_size, side, side, 3), np.uint8)
+                ok = []
+                for i, job in enumerate(batch_jobs):
+                    if job.image is not None:
+                        batch[i] = job.image
+                        ok.append(True)
+                    else:
+                        ok.append(False)
+                with trace("serve/device_call"):
+                    ids, probs = clf._predict(clf.variables, batch)
+                    ids = np.asarray(ids)
+                    probs = np.asarray(probs)
             except Exception:  # device error: fail THESE requests, keep serving
                 for job in batch_jobs:
                     job.event.set()
@@ -126,6 +149,10 @@ class ClassifierServer:
                     self._send(200, {"status": "ok"})
                 elif self.path == "/labels":
                     self._send(200, server_self.classifier.class_labels)
+                elif self.path == "/metrics":
+                    from roomnet_tpu.utils.profiling import SPANS
+
+                    self._send(200, SPANS.summary())
                 else:
                     self._send(404, {"error": "not found"})
 
@@ -133,12 +160,15 @@ class ClassifierServer:
                 if self.path != "/classify":
                     self._send(404, {"error": "not found"})
                     return
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length)
-                image = server_self._preprocess(body)
-                job = _Job(image)
-                server_self._jobs.put(job)
-                job.event.wait(timeout=30)
+                from roomnet_tpu.utils.profiling import trace
+
+                with trace("serve/request"):
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length)
+                    image = server_self._preprocess(body)
+                    job = _Job(image)
+                    server_self._jobs.put(job)
+                    job.event.wait(timeout=30)
                 if job.result is None:
                     self._send(400, {"error": "undecodable image or timeout"})
                 else:
@@ -147,6 +177,8 @@ class ClassifierServer:
         return Handler
 
     def start(self):
+        if self.warmup:
+            self._warmup()
         self._httpd = ThreadingHTTPServer((self.host, self.port), self._make_handler())
         self.port = self._httpd.server_address[1]  # resolve port 0
         self._threads = [

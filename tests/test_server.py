@@ -91,3 +91,54 @@ def test_concurrent_requests_microbatch(server):
         t.join()
     assert len(results) == 8
     assert all(status == 200 for status, _ in results.values())
+
+
+def test_metrics_endpoint(server):
+    _post(server, "/classify", _img_bytes())  # ensure at least one span
+    with urllib.request.urlopen(_url(server, "/metrics"), timeout=10) as r:
+        metrics = json.loads(r.read())
+    assert "serve/request" in metrics
+    assert "serve/device_call" in metrics
+    assert metrics["serve/device_call"]["count"] >= 1
+    assert metrics["serve/request"]["mean_ms"] > 0
+
+
+def test_max_batch_larger_than_device_batch_is_clamped():
+    """Regression: max_batch > classifier.batch_size used to overflow the
+    device batch buffer, IndexError the worker thread, and time out every
+    later request."""
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(1), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0, max_batch=16).start()
+    try:
+        assert srv.max_batch == 2
+        results = {}
+
+        def hit(i):
+            results[i] = _post(srv, "/classify", _img_bytes(seed=i))
+
+        # Load test: more concurrent posts than the device batch holds.
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(7)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 7
+        assert all(status == 200 for status, _ in results.values())
+    finally:
+        srv.stop()
+
+
+def test_warmup_compiles_before_serving():
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(2), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0, warmup=True).start()
+    try:
+        status, out = _post(srv, "/classify", _img_bytes())
+        assert status == 200 and out["label"] in LABELS4
+    finally:
+        srv.stop()
