@@ -71,6 +71,18 @@ class TrainConfig:
     # Failure detection: warn when no step completes for this long
     # (0 disables). See utils/watchdog.py.
     stall_timeout_s: float = 600.0
+    # Escalation when a stall fires: write an emergency checkpoint of the
+    # last completed state (suffix "stall", resumable like any other), and
+    # optionally interrupt the main thread (KeyboardInterrupt -> the loop's
+    # finally block flushes checkpoints and closes feeders cleanly).
+    stall_checkpoint: bool = True
+    stall_abort: bool = False
+    # Validation BN mode. None = follow the active phase's
+    # compute_bn_mean_var — the REFERENCE semantics: nn.infer runs with
+    # training=compute_bn_mean_var (network.py:128-135, :193), so during
+    # BN-unfrozen curriculum phases the logged validation accuracies used
+    # batch statistics. True/False force one mode.
+    val_use_batch_stats: bool | None = None
     # Checkpoint backend: "npz" (default, portable flat files) or "orbax"
     # (async, sharding-aware — use for multi-host/pod training).
     ckpt_backend: str = "npz"
@@ -117,7 +129,7 @@ class Trainer:
         else:
             self.store = CheckpointStore(tc.model_dir)
         self._compiled: dict = {}
-        self._infer_fn = None
+        self._infer_fns: dict = {}
 
     # -- state ------------------------------------------------------------
     def init_state(self, rng: jax.Array | None = None) -> TrainState:
@@ -173,27 +185,36 @@ class Trainer:
             self._compiled[key] = fn
         return self._compiled[key]
 
-    def infer_fn(self):
-        if self._infer_fn is None:
+    def infer_fn(self, use_batch_stats: bool = False):
+        """Validation forward. `use_batch_stats=True` reproduces the
+        reference's validation semantics during BN-unfrozen phases:
+        `nn.infer` runs the SAME graph with training=compute_bn_mean_var
+        (network.py:128-135, :193), so the accuracies the reference logged
+        to all_train_stats.json were computed with batch statistics."""
+        if use_batch_stats not in self._infer_fns:
             from roomnet_tpu.models.roomnet import forward, normalize_bgr_uint8
 
             def _infer(train_vars, frozen_vars, x_uint8):
                 variables = schema.unflatten_jax({**train_vars, **frozen_vars}, self.cfg)
-                logits = forward(variables, normalize_bgr_uint8(x_uint8), self.cfg)
+                logits = forward(
+                    variables, normalize_bgr_uint8(x_uint8), self.cfg,
+                    use_batch_stats=use_batch_stats,
+                )
                 return jax.numpy.argmax(logits, axis=-1)
 
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                self._infer_fn = jax.jit(
+                self._infer_fns[use_batch_stats] = jax.jit(
                     _infer, in_shardings=(None, None, NamedSharding(self.mesh, P("data")))
                 )
             else:
-                self._infer_fn = jax.jit(_infer)
-        return self._infer_fn
+                self._infer_fns[use_batch_stats] = jax.jit(_infer)
+        return self._infer_fns[use_batch_stats]
 
     # -- validation ---------------------------------------------------------
-    def run_validation(self, state: TrainState, val_reader: TrainFeeder):
+    def run_validation(self, state: TrainState, val_reader: TrainFeeder,
+                       use_batch_stats: bool = False):
         """Infer one full val epoch (reference train.py:135-145 semantics:
         the last dequeued batch — first of the next epoch — is trimmed).
 
@@ -203,7 +224,7 @@ class Trainer:
         when the val set fits in one batch) — yielding zero predictions.
         Here the boundary check runs after at least one batch is inferred.
         """
-        infer = self.infer_fn()
+        infer = self.infer_fn(use_batch_stats)
         x_val, y_val = val_reader.dequeue()
         y_vals = list(y_val)
         y_preds: list[int] = []
@@ -245,7 +266,29 @@ class Trainer:
         )
         from roomnet_tpu.utils.watchdog import StepWatchdog
 
-        watchdog = StepWatchdog(tc.stall_timeout_s) if tc.stall_timeout_s else None
+        # Stall escalation (runs on the watchdog thread): checkpoint the last
+        # *completed* state (saved via device_get — best effort if the device
+        # itself is wedged), then optionally interrupt the main thread.
+        self._live_state = None
+
+        def _on_stall(info):
+            st = self._live_state
+            if tc.stall_checkpoint and st is not None:
+                path = self.store.save(
+                    st.variables(self.cfg), int(st.step), suffix="stall",
+                    opt_state_flat=flatten_opt_state(st.opt_state),
+                )
+                print(f"Stall: emergency checkpoint written to {path}")
+            if tc.stall_abort:
+                import _thread
+
+                _thread.interrupt_main()
+
+        watchdog = (
+            StepWatchdog(tc.stall_timeout_s, on_stall=_on_stall)
+            if tc.stall_timeout_s
+            else None
+        )
         if watchdog:
             watchdog.start()
         rng = jax.random.PRNGKey(tc.seed + 1)
@@ -280,7 +323,14 @@ class Trainer:
                     )
                 ph = new_ph
                 if it % tc.save_freq == 0 and it > start_step:
-                    y_vals, y_preds = self.run_validation(state, val_reader)
+                    val_bn = (
+                        ph.compute_bn_mean_var
+                        if tc.val_use_batch_stats is None
+                        else tc.val_use_batch_stats
+                    )
+                    y_vals, y_preds = self.run_validation(
+                        state, val_reader, use_batch_stats=val_bn
+                    )
                     entry = make_stats_entry(int(state.step), y_vals, y_preds)
                     self.store.save(
                         state.variables(self.cfg),
@@ -297,6 +347,7 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 t0 = time.perf_counter()
                 state, metrics = self._step_fn(ph)(state, x, y, sub)
+                self._live_state = state  # for the stall-escalation callback
                 # While the (async-dispatched) step runs, stage next batch.
                 if it + 1 < start_step + total_steps:
                     pending = fetch_next()

@@ -177,6 +177,123 @@ def test_validation_single_batch_epoch_counts_predictions(data_dir):
             assert len(y_preds) >= n_val - 1 and len(y_vals) == len(y_preds)
 
 
+def test_validation_bn_mode_follows_phase(data_dir):
+    """Reference parity: nn.infer runs the graph with
+    training=compute_bn_mean_var (network.py:128-135, :193), so validation
+    during a BN-unfrozen phase uses BATCH statistics. Default follows the
+    phase; val_use_batch_stats forces a mode."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from roomnet_tpu.data.dataset import extract_fpaths
+    from roomnet_tpu.models.roomnet import forward, normalize_bgr_uint8
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    bn_phase = (Phase(until_step=1 << 62, batch_size=4, compute_bn_mean_var=True,
+                      update_bn_moving=True),)
+
+    # 1) the two infer modes are wired to the forward's BN modes
+    tc = _tc(data_dir, phases=bn_phase)
+    extract_fpaths(tc.data_dir, tc.train_list_fpath, tc.val_list_fpath,
+                   str(data_dir / "labels_bn.json"), seed=0)
+    tr = Trainer(tc, cfg)
+    state = tr.init_state()
+    x = jax.random.randint(jax.random.PRNGKey(0), (4, cfg.im_side, cfg.im_side, 3),
+                           0, 255, dtype=jnp.int32).astype(jnp.uint8)
+    for mode in (False, True):
+        got = np.asarray(tr.infer_fn(mode)(state.train_vars, state.frozen_vars, x))
+        want_logits = forward(state.variables(cfg), normalize_bgr_uint8(x), cfg,
+                              use_batch_stats=mode)
+        np.testing.assert_array_equal(got, np.argmax(np.asarray(want_logits), -1))
+
+    # 2) default: a BN-unfrozen phase validates with batch stats
+    tc2 = dataclasses.replace(tc, model_dir=str(data_dir / "models_bnphase"),
+                              stats_fpath=str(data_dir / "stats_bnphase.json"),
+                              save_freq=3)
+    tr2 = Trainer(tc2, cfg)
+    tr2.train(total_steps=4, log_every=100)
+    assert True in tr2._infer_fns  # batch-stats validation path was compiled
+
+    # 3) forced moving-stats validation never compiles the batch-stats path
+    tc3 = dataclasses.replace(tc2, model_dir=str(data_dir / "models_bnforce"),
+                              stats_fpath=str(data_dir / "stats_bnforce.json"),
+                              val_use_batch_stats=False)
+    tr3 = Trainer(tc3, cfg)
+    tr3.train(total_steps=4, log_every=100)
+    assert True not in tr3._infer_fns and False in tr3._infer_fns
+
+
+def test_stall_writes_emergency_checkpoint(data_dir):
+    """Watchdog escalation: a simulated stalled step triggers an emergency
+    checkpoint of the last completed state (suffix 'stall'), resumable."""
+    import dataclasses
+    import time
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),)),
+        model_dir=str(data_dir / "models_stall"),
+        stats_fpath=str(data_dir / "stats_stall.json"),
+        save_freq=1000,  # no periodic ckpts — only the emergency one
+        stall_timeout_s=0.25,
+    )
+    tr = Trainer(tc, cfg)
+    orig = tr._step_fn
+
+    def slow_step_fn(ph):
+        fn = orig(ph)
+
+        def wrapped(*a):
+            time.sleep(1.0)  # > stall_timeout_s: watchdog fires mid-step
+            return fn(*a)
+
+        return wrapped
+
+    tr._step_fn = slow_step_fn
+    tr.train(total_steps=3, log_every=1)
+    stall_ckpts = [c for c in os.listdir(tc.model_dir) if "--stall--" in c]
+    assert stall_ckpts, os.listdir(tc.model_dir)
+    # and it resumes like any other checkpoint
+    restored = tr.store.load(cfg=cfg, with_opt_state=True)
+    assert restored is not None and restored[1] >= 1
+
+
+def test_stall_abort_interrupts_training(data_dir):
+    """stall_abort=True: the watchdog interrupts the main thread; the loop's
+    finally block still cleans up (feeders closed, no hang)."""
+    import dataclasses
+    import time
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),)),
+        model_dir=str(data_dir / "models_abort"),
+        stats_fpath=str(data_dir / "stats_abort.json"),
+        save_freq=1000,
+        stall_timeout_s=0.25,
+        stall_abort=True,
+    )
+    tr = Trainer(tc, cfg)
+    orig = tr._step_fn
+
+    def slow_step_fn(ph):
+        fn = orig(ph)
+
+        def wrapped(*a):
+            time.sleep(5.0)
+            return fn(*a)
+
+        return wrapped
+
+    tr._step_fn = slow_step_fn
+    t0 = time.monotonic()
+    with pytest.raises(KeyboardInterrupt):
+        tr.train(total_steps=5, log_every=1)
+    assert time.monotonic() - t0 < 10  # aborted, not 5 steps x 5 s
+
+
 def test_trainer_with_orbax_backend(data_dir):
     """Full Trainer loop with the Orbax checkpoint backend: save + resume."""
     import dataclasses
