@@ -3,7 +3,9 @@
 // The reference's hot host loop is cv2.imread -> crop -> cv2.resize per image
 // on one producer thread (reference generator.py:95-112, 146-163). This
 // library replaces it with a fused decode->crop->resize->flip pipeline:
-//   * JPEG via libjpeg, PNG via libpng, BMP via a tiny built-in reader;
+//   * JPEG via libjpeg, PNG via libpng — ONLY these two formats; probe and
+//     decode return 0 for anything else and the Python loader falls back to
+//     cv2 per image (loader.py), so dataset coverage matches the cv2 path;
 //   * header-only probe so the Python side can draw crop offsets without a
 //     full decode (keeps RNG/augment semantics identical to the cv2 path);
 //   * crop+resize fused: bilinear taps read the decoded image through the

@@ -104,13 +104,20 @@ def load_and_preprocess(
     if use_native is None:
         use_native = native.available()
     if use_native:
+        rng_state = rng.get_state()
         probed = native.probe(fpath)
-        if probed is None:
-            return None
-        h, w = probed
-        crop = draw_crop_rect(h, w, random_crop=random_crop, rng=rng)
-        flip_lr, flip_ud = draw_flips(rng, augment)
-        return native.load_preprocess(fpath, crop, im_side, flip_lr, flip_ud)
+        if probed is not None:
+            h, w = probed
+            crop = draw_crop_rect(h, w, random_crop=random_crop, rng=rng)
+            flip_lr, flip_ud = draw_flips(rng, augment)
+            out = native.load_preprocess(fpath, crop, im_side, flip_lr, flip_ud)
+            if out is not None:
+                return out
+        # Native handles JPEG/PNG only — fall through to cv2 per image so
+        # formats cv2 can decode (BMP/TIFF/WebP) keep identical dataset
+        # coverage on both backends. Rewind the RNG so the cv2 path draws
+        # the same (crop, flips) sequence it would have standalone.
+        rng.set_state(rng_state)
 
     import cv2
 
@@ -216,9 +223,22 @@ class TrainFeeder:
                 [p for p, _ in parsed], crops, self.im_side, flips
             )
             ok &= np.array([pr is not None for pr in probes])
-            xs = [batch[i] for i in range(n) if ok[i]]
-            ys = [parsed[i][1] for i in range(n) if ok[i]]
-            paths = [parsed[i][0] for i in range(n) if ok[i]]
+            xs, ys, paths = [], [], []
+            for i in range(n):
+                im = batch[i] if ok[i] else None
+                if im is None:
+                    # Native is JPEG/PNG-only: retry per image through cv2
+                    # (fresh per-item RNG — identical draw sequence) so
+                    # cv2-decodable formats aren't dropped by this backend.
+                    im = load_and_preprocess(
+                        parsed[i][0], self.im_side,
+                        random_crop=self.random_crop, augment=self.augment,
+                        rng=self._item_rng(epoch, batch_i, i), use_native=False,
+                    )
+                if im is not None:
+                    xs.append(im)
+                    ys.append(parsed[i][1])
+                    paths.append(parsed[i][0])
         else:
 
             def one(args):

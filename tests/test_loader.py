@@ -149,6 +149,36 @@ def test_native_and_cv2_backends_agree(tmp_path):
         assert diff.max() <= 1, diff.max()  # float vs cv2 fixed-point rounding
 
 
+def test_native_backend_falls_back_to_cv2_for_bmp(tmp_path):
+    """The native library is JPEG/PNG-only; cv2-decodable formats (BMP) must
+    still load — per-image fallback, identical dataset coverage on both
+    backends (both single-image and batch paths)."""
+    from roomnet_tpu.data import native
+    from roomnet_tpu.data.loader import load_and_preprocess
+
+    if not native.available():
+        pytest.skip("native library not built")
+    d = tmp_path / "d"
+    d.mkdir()
+    rng = np.random.RandomState(3)
+    im = rng.randint(0, 255, (40, 56, 3), np.uint8)
+    p = str(d / "img.bmp")
+    cv2.imwrite(p, im)
+    assert native.probe(p) is None  # native really can't read it
+    a = load_and_preprocess(p, 16, random_crop=True, augment=True,
+                            rng=np.random.RandomState(5), use_native=True)
+    b = load_and_preprocess(p, 16, random_crop=True, augment=True,
+                            rng=np.random.RandomState(5), use_native=False)
+    np.testing.assert_array_equal(a, b)  # same draws after RNG rewind
+    # batch path: the BMP is not dropped
+    lines = [f"{p} 1\n"]
+    with TrainFeeder(lines, batch_size=1, im_side=16, shuffle=False,
+                     random_crop=False, preprocess=False) as f:
+        x, y = f.dequeue()
+        assert x.shape == (1, 16, 16, 3) and y[0] == 1
+        assert x.any()
+
+
 def test_native_probe_and_decode(tmp_path):
     from roomnet_tpu.data import native
 
