@@ -74,7 +74,16 @@ class OrbaxCheckpointStore:
             if path is None:
                 return None
         restorer = ocp.PyTreeCheckpointer()
-        tree = restorer.restore(path)
+        # Restore every leaf as host numpy: topology-free, so a checkpoint
+        # written collectively by N processes (sharded device buffers)
+        # restores on any other topology — single host included. Without
+        # explicit RestoreArgs orbax tries to rebuild the saved shardings,
+        # which fails (or is unsafe) off the original topology.
+        meta = restorer.metadata(path).item_metadata.tree
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+        )
+        tree = restorer.restore(path, restore_args=restore_args)
         var_flat = {k: np.asarray(v) for k, v in tree["variables"].items()}
         step = int(tree["step"])
         opt_flat = {k: np.asarray(v) for k, v in tree.get("opt", {}).items()}

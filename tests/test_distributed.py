@@ -1,14 +1,20 @@
-"""Multi-process jax.distributed smoke: two CPU processes, one global mesh.
+"""Multi-process jax.distributed tests: two CPU processes, one global mesh.
 
-Validates parallel/distributed.py beyond the single-host no-op: both
-processes see the union of devices (the precondition for DCN-spanning
-meshes on pods/multi-slice; SURVEY.md §5 distributed-backend row).
+Validates parallel/distributed.py beyond the single-host no-op:
+  * both processes see the union of devices (the precondition for
+    DCN-spanning meshes on pods/multi-slice; SURVEY.md §5);
+  * a REAL data-parallel train step whose gradient all-reduce crosses the
+    process boundary (gloo CPU collectives) matches the single-device step;
+  * a multi-host Orbax checkpoint written collectively by both processes
+    restores bit-exact in a different (single-process) topology.
 """
 
+import os
 import subprocess
 import sys
 import textwrap
 
+import numpy as np
 import pytest
 
 
@@ -58,3 +64,117 @@ def test_two_process_global_devices(n_proc, tmp_path):
     for rc, out in outs:
         assert rc == 0, out[-2000:]
         assert "OK" in out
+
+
+_DP_WORKER = textwrap.dedent(
+    """
+    import sys
+
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from roomnet_tpu.parallel import distributed
+
+    pid = int(sys.argv[1])
+    ckpt_dir = sys.argv[2]
+    expected_npz = sys.argv[3]
+    assert distributed.initialize("127.0.0.1:39271", 2, pid)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from roomnet_tpu.models.roomnet import init_variables
+    from roomnet_tpu.params import schema
+    from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
+    from roomnet_tpu.train.optimizer import flatten_opt_state
+    from roomnet_tpu.train.step import TrainHParams, init_train_state, make_train_step
+    from tests.tiny import TINY
+
+    hp = TrainHParams(learn_rate=1e-3, num_steps=1000, l2_coeff=1e-4)
+    variables = init_variables(jax.random.PRNGKey(0), TINY)
+    rng = np.random.RandomState(0)
+    B = 8
+    x = rng.randint(0, 255, (B, TINY.im_side, TINY.im_side, 3)).astype(np.uint8)
+    y = rng.randint(0, TINY.num_classes, (B,)).astype(np.int32)
+    key = jax.random.PRNGKey(42)
+
+    # Expected: the same step on ONE local device (no mesh, no collectives).
+    step = make_train_step(hp, TINY)
+    state_l, metrics_l = jax.jit(step)(init_train_state(variables, hp), x, y, key)
+    loss_local = float(metrics_l["loss"])
+
+    # Global: 2 procs x 2 devices, batch sharded 4-way over 'data' — the
+    # gradient all-reduce must cross the process boundary.
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size == 4, mesh
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def globalize(arr, sh):
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+    gstate = jax.tree_util.tree_map(lambda a: globalize(a, repl),
+                                    init_train_state(variables, hp))
+    gstate, gmetrics = jax.jit(step)(gstate, globalize(x, data),
+                                     globalize(y, data), globalize(key, repl))
+    loss_dp = float(gmetrics["loss"])
+    assert abs(loss_dp - loss_local) < 1e-4 * max(1.0, abs(loss_local)), (
+        loss_dp, loss_local)
+    for k in ("blocks/0/conv/0", "dense/0/kernel"):
+        np.testing.assert_allclose(
+            np.asarray(gstate.train_vars[k]), np.asarray(state_l.train_vars[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k)
+    print("DPSTEP OK", pid, loss_dp)
+
+    # Multi-host checkpoint: both processes save collectively (each writes
+    # its addressable shards) into one Orbax step dir.
+    store = OrbaxCheckpointStore(ckpt_dir, async_save=False)
+    store.save(gstate.variables(TINY), 1, suffix="dp",
+               opt_state_flat=flatten_opt_state(gstate.opt_state))
+    if pid == 0:
+        np.savez(expected_npz,
+                 **{k: np.asarray(v)
+                    for k, v in schema.flatten_jax(gstate.variables(TINY)).items()})
+    print("SAVE OK", pid)
+    """
+)
+
+
+def test_cross_process_dp_step_and_multihost_checkpoint(tmp_path):
+    ckpt_dir = str(tmp_path / "orbax_multihost")
+    expected_npz = str(tmp_path / "expected.npz")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _DP_WORKER, str(i), ckpt_dir, expected_npz],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        assert rc == 0, out[-3000:]
+        assert "DPSTEP OK" in out and "SAVE OK" in out
+
+    # Restore in a DIFFERENT topology: this (single-process, 8-device CPU)
+    # pytest process reads the checkpoint both workers wrote.
+    from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
+    from tests.tiny import TINY
+
+    restored = OrbaxCheckpointStore(ckpt_dir).load(cfg=TINY, with_opt_state=True)
+    assert restored is not None
+    var_flat, step, opt_flat = restored
+    assert step == 1
+    expected = dict(np.load(expected_npz))
+    assert set(var_flat) == set(expected)
+    for k, v in expected.items():
+        np.testing.assert_array_equal(np.asarray(var_flat[k]), v, err_msg=k)
+    assert opt_flat and int(opt_flat["count"]) == 1
