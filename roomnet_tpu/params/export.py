@@ -12,27 +12,78 @@ from __future__ import annotations
 import os
 
 
-def export_tflite(variables, out_path: str, cfg=None) -> str:
-    """Export forward+softmax to a float32 .tflite flatbuffer.
+def _tf_forward(variables, x, cfg):
+    """Inference forward in plain TF ops (export-only twin of
+    models/roomnet.py:forward, moving-stats BN, no dropout).
+
+    Every op maps to a TFLite BUILTIN: CONV_2D, RELU6, AVERAGE_POOL_2D,
+    MUL/ADD (inference BN folded to one affine), RESIZE_BILINEAR (the TF1
+    legacy op itself — align_corners=False, half_pixel_centers=False, the
+    exact semantics of the reference residual resize, network.py:199),
+    RESHAPE, FULLY_CONNECTED, SOFTMAX. jax2tf native serialization can't
+    do this (it emits one XlaCallModule = Flex op), which is why the
+    export path has its own graph builder.
+    """
+    import numpy as np
+    import tensorflow as tf
+
+    def bn_affine(h, bn):
+        scale = np.asarray(bn["scale"], np.float32)
+        mean = np.asarray(bn["mean"], np.float32)
+        var = np.asarray(bn["var"], np.float32)
+        bias = np.asarray(bn["bias"], np.float32)
+        a = scale / np.sqrt(var + cfg.bn_eps)
+        b = bias - mean * a
+        return h * tf.constant(a) + tf.constant(b)
+
+    for bi, blk in enumerate(variables["blocks"]):
+        depth = len(blk["conv"])
+        pool = cfg.block_pools[bi]
+        res_in = None
+        for d in range(depth):
+            k = tf.constant(np.asarray(blk["conv"][d], np.float32))
+            x = tf.nn.conv2d(x, k, strides=1, padding="VALID")
+            x = tf.nn.relu6(x)
+            if pool is not None:
+                x = tf.nn.avg_pool2d(x, pool[0], pool[1], "VALID")
+            x = bn_affine(x, blk["bn"][d])
+            if d == 0:
+                res_in = x
+        if depth > 1:
+            x = x + tf.compat.v1.image.resize_bilinear(
+                res_in, (x.shape[1], x.shape[2]),
+                align_corners=False, half_pixel_centers=False,
+            )
+            x = bn_affine(x, blk["res_bn"])
+    x = tf.reshape(x, (x.shape[0], -1))
+    for layer in variables["dense"]:
+        x = tf.linalg.matmul(x, tf.constant(np.asarray(layer["kernel"], np.float32)))
+        if layer["bias"] is not None:
+            x = x + tf.constant(np.asarray(layer["bias"], np.float32))
+        x = tf.nn.relu6(x)  # unconditional, incl. logits (network.py:214)
+        if layer["bn"] is not None:
+            x = bn_affine(x, layer["bn"])
+    return tf.nn.softmax(x, axis=-1)
+
+
+def export_tflite(variables, out_path: str, cfg=None, *, allow_flex: bool = False) -> str:
+    """Export forward+softmax to a float32 .tflite flatbuffer — pure
+    TFLITE_BUILTINS (loads in the stock interpreter, no Flex delegate;
+    reference Classifier.java:189 uses the stock interpreter).
 
     Input signature: (1, im_side, im_side, 3) float32 RGB in [-1,1]
     (the normalized tensor the reference graph consumes, network.py:28).
     """
+    import jax
     import tensorflow as tf
-    from jax.experimental import jax2tf
 
-    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, forward
+    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG
 
     cfg = cfg or DEFAULT_CONFIG
-
-    def infer_fn(x):
-        import jax
-
-        logits = forward(variables, x, cfg)
-        return jax.nn.softmax(logits, axis=-1)
+    variables = jax.device_get(variables)
 
     tf_fn = tf.function(
-        jax2tf.convert(infer_fn, with_gradient=False),
+        lambda x: _tf_forward(variables, x, cfg),
         input_signature=[
             tf.TensorSpec((1, cfg.im_side, cfg.im_side, 3), tf.float32)
         ],
@@ -41,10 +92,9 @@ def export_tflite(variables, out_path: str, cfg=None) -> str:
     converter = tf.lite.TFLiteConverter.from_concrete_functions(
         [tf_fn.get_concrete_function()]
     )
-    converter.target_spec.supported_ops = [
-        tf.lite.OpsSet.TFLITE_BUILTINS,
-        tf.lite.OpsSet.SELECT_TF_OPS,
-    ]
+    converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS]
+    if allow_flex:  # escape hatch for future non-builtin graphs
+        converter.target_spec.supported_ops.append(tf.lite.OpsSet.SELECT_TF_OPS)
     blob = converter.convert()
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "wb") as f:
