@@ -214,7 +214,7 @@ def build_parser() -> argparse.ArgumentParser:
     lb.add_argument("--no-resume", action="store_true")
     lb.set_defaults(fn=cmd_label)
 
-    e = sub.add_parser("export", help="export to TFLite via jax2tf")
+    e = sub.add_parser("export", help="export to TFLite (pure builtins, stock-interpreter loadable)")
     e.add_argument("--params", default="artifacts/roomnet_params.npz")
     e.add_argument("--model-dir", default=None,
                    help="resume-latest from a training checkpoint dir")
