@@ -34,3 +34,46 @@ def test_dense_head_kernel_matches_xla(dense_layers, bsz):
     want = np.asarray(_xla_head(dense_layers, x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [  # (H, W, C, ksize, stride) — the stride-1 pool geometries (B1/B2);
+        # stride 2 is out of the kernel's surface (see pool.py docstring)
+        (12, 12, 8, 3, 1),
+        (13, 15, 32, 4, 1),
+        (107, 53, 8, 3, 1),  # multi-strip path (>48 output rows)
+    ],
+)
+def test_fused_pool_kernel_matches_xla(shape):
+    from roomnet_tpu.ops.pallas.pool import bn_affine_params, fused_relu6_pool_bn
+
+    H, W, C, k, s = shape
+    rng = np.random.RandomState(0)
+    x = jax.numpy.asarray(rng.randn(2, H, W, C).astype(np.float32) * 3)
+    bn = {
+        "scale": jax.numpy.asarray(rng.rand(C).astype(np.float32) + 0.5),
+        "bias": jax.numpy.asarray(rng.randn(C).astype(np.float32)),
+        "mean": jax.numpy.asarray(rng.randn(C).astype(np.float32)),
+        "var": jax.numpy.asarray(rng.rand(C).astype(np.float32) + 0.5),
+    }
+    w, b = bn_affine_params(bn, B.BN_EPS)
+    want = np.asarray(B.batch_norm(B.avg_pool_valid(B.relu6(x), k, s), bn))
+    got = np.asarray(
+        fused_relu6_pool_bn(x, w, b, ksize=k, stride=s, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_pallas_matches_xla():
+    """The measured fused-B2 attempt (ops/pallas/conv_b2.py): numerically a
+    real conv — the A/B harness measures why it still loses to XLA."""
+    from roomnet_tpu.ops.pallas.conv_b2 import conv3x3_pallas
+
+    rng = np.random.RandomState(1)
+    x = jax.numpy.asarray(rng.randn(2, 18, 20, 8).astype(np.float32))
+    kern = jax.numpy.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+    got = conv3x3_pallas(x, kern, row_tile=8, interpret=True)
+    want = B.conv2d_valid(x, kern)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -19,10 +19,161 @@ def timeit(jfn, *args, iters=20):
 
     r = jfn(*args)
     float(jnp.sum(r.astype(jnp.float32)))
+    del r
     t0 = time.perf_counter()
-    rs = [jfn(*args) for _ in range(iters)]
-    float(jnp.sum(rs[-1].astype(jnp.float32)))
+    r = None
+    for _ in range(iters):
+        # Keep only the newest ref: at forward-activation sizes (~750 MB)
+        # retaining all N results exhausts HBM. Executions stay
+        # stream-ordered, so the final scalar fetch still bounds them all.
+        r = jfn(*args)
+    float(jnp.sum(r.astype(jnp.float32)))
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench_pool_kernels(batch=256):
+    """Streaming relu6+pool+BN kernel vs XLA's reduce_window fusion, at the
+    real forward shapes (B1/B2/B3; PERF.md 'where the time goes')."""
+    import jax
+    import jax.numpy as jnp
+
+    from roomnet_tpu.ops import blocks as B
+    from roomnet_tpu.ops.pallas.pool import bn_affine_params, fused_relu6_pool_bn
+
+    rng = np.random.RandomState(0)
+    results = {}
+    print(f"== relu6+avgpool+BN: pallas streaming vs xla (batch {batch}, bf16) ==")
+    for tag, (H, C, k, s) in {
+        "B1 pool3/s1 222^2x8": (222, 8, 3, 1),
+        "B2 pool4/s1 218^2x32": (218, 32, 4, 1),
+        "B2 pool4/s1 213^2x32": (213, 32, 4, 1),
+        "B2 pool4/s1 208^2x32": (208, 32, 4, 1),
+        # stride-2 pools (B3/B5) are outside the kernel surface: strided
+        # compaction needs gathers/lane-merges Mosaic rejects, and the
+        # stride-1 verdict above already settles the economics.
+    }.items():
+        bn = {
+            "scale": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5),
+            "bias": jnp.asarray(rng.randn(C).astype(np.float32)),
+            "mean": jnp.asarray(rng.randn(C).astype(np.float32)),
+            "var": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5),
+        }
+        w, b = bn_affine_params(bn, B.BN_EPS)
+        key = jax.random.PRNGKey(0)
+        x = jax.jit(lambda k: jax.random.normal(k, (batch, H, H, C), jnp.bfloat16))(key)
+
+        xla = jax.jit(lambda x: B.batch_norm(B.avg_pool_valid(B.relu6(x), k, s), bn))
+        plk = lambda x: fused_relu6_pool_bn(x, w, b, ksize=k, stride=s)
+
+        # third contender: avg-pool as a depthwise conv (XLA's conv emitter,
+        # no custom-call layout boundary)
+        dw_kernel = jnp.full((k, k, 1, C), 1.0 / (k * k), jnp.bfloat16)
+
+        def dw(x):
+            h = B.relu6(x)
+            p = jax.lax.conv_general_dilated(
+                h, dw_kernel, (s, s), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C,
+            )
+            return B.batch_norm(p, bn)
+
+        dwj = jax.jit(dw)
+        # correctness gate first (bf16 tolerance)
+        d = float(jnp.abs(plk(x).astype(jnp.float32) - xla(x).astype(jnp.float32)).max())
+        assert d < 0.25, (tag, d)
+        t_p = timeit(plk, x)
+        t_x = timeit(xla, x)
+        t_d = timeit(dwj, x)
+        best = min((t_x, "XLA-rw"), (t_p, "PALLAS"), (t_d, "XLA-dwconv"))[1]
+        results[tag] = (t_p, t_x, t_d)
+        print(f"{tag:26s}: pallas {t_p:7.3f} ms | xla-rw {t_x:7.3f} ms | "
+              f"xla-dwconv {t_d:7.3f} ms -> keep {best} (|d|={d:.3f})")
+    return results
+
+
+def bench_conv_attempt(batch=256):
+    """The measured Pallas-conv attempt at B2's hot shape (see
+    ops/pallas/conv_b2.py docstring for why this settles the fused-B2 claim)."""
+    import jax
+    import jax.numpy as jnp
+
+    from roomnet_tpu.ops import blocks as B
+    from roomnet_tpu.ops.pallas.conv_b2 import conv3x3_pallas
+
+    print(f"== conv3x3 32->32 @218^2 (B2 hot shape), batch {batch}, bf16 ==")
+    key = jax.random.PRNGKey(1)
+    x = jax.jit(lambda k: jax.random.normal(k, (batch, 218, 218, 32), jnp.bfloat16))(key)
+    kern = jnp.asarray(np.random.RandomState(2).randn(3, 3, 32, 32).astype(np.float32) * 0.1)
+    xla = jax.jit(lambda x: B.conv2d_valid(x, kern))
+    plk = jax.jit(lambda x: conv3x3_pallas(x, kern, row_tile=8))
+    d = float(jnp.abs(plk(x).astype(jnp.float32) - xla(x).astype(jnp.float32)).max())
+    gflop = 2 * batch * 216 * 216 * 9 * 32 * 32 / 1e9
+    t_p = timeit(plk, x, iters=10)
+    t_x = timeit(xla, x, iters=10)
+    print(f"pallas {t_p:7.3f} ms ({gflop / t_p:6.1f} GFLOP/ms = "
+          f"{gflop / t_p / 197:.1%} of bf16 peak) | "
+          f"xla {t_x:7.3f} ms ({gflop / t_x / 197:.1%} of peak) (|d|={d:.3f})")
+    return t_p, t_x
+
+
+def bench_b2_chain(batch=256):
+    """Full B2 block A/B: pure XLA vs XLA convs + pallas streaming pools.
+    Includes all layout/reshape costs at the kernel boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG
+    from roomnet_tpu.ops import blocks as B
+    from roomnet_tpu.ops.pallas.pool import bn_affine_params, fused_relu6_pool_bn
+    from roomnet_tpu.ops.resize import resize_bilinear_tf1
+
+    rng = np.random.RandomState(3)
+    kerns = [jnp.asarray(rng.randn(3, 3, cin, 32).astype(np.float32) * 0.05)
+             for cin in (8, 32, 32)]
+    bns = []
+    for _ in range(4):  # 3 per-depth + 1 residual
+        bns.append({
+            "scale": jnp.asarray(rng.rand(32).astype(np.float32) + 0.5),
+            "bias": jnp.asarray(rng.randn(32).astype(np.float32)),
+            "mean": jnp.asarray(rng.randn(32).astype(np.float32)),
+            "var": jnp.asarray(rng.rand(32).astype(np.float32) + 0.5),
+        })
+
+    def b2_xla(x):
+        res = None
+        for d in range(3):
+            x = B.conv2d_valid(x, kerns[d])
+            x = B.relu6(x)
+            x = B.avg_pool_valid(x, 4, 1)
+            x = B.batch_norm(x, bns[d])
+            if d == 0:
+                res = x
+        x = x + resize_bilinear_tf1(res, (x.shape[1], x.shape[2]))
+        return B.batch_norm(x, bns[3])
+
+    def b2_pallas(x):
+        res = None
+        for d in range(3):
+            x = B.conv2d_valid(x, kerns[d])
+            w, b = bn_affine_params(bns[d], B.BN_EPS)
+            x = fused_relu6_pool_bn(x, w, b, ksize=4, stride=1)
+            if d == 0:
+                res = x
+        x = x + resize_bilinear_tf1(res, (x.shape[1], x.shape[2]))
+        return B.batch_norm(x, bns[3])
+
+    key = jax.random.PRNGKey(4)
+    x = jax.jit(lambda k: jax.random.normal(k, (batch, 220, 220, 8), jnp.bfloat16))(key)
+    fx = jax.jit(b2_xla)
+    fp = jax.jit(b2_pallas)
+    d = float(jnp.abs(fp(x).astype(jnp.float32) - fx(x).astype(jnp.float32)).max())
+    print(f"== full B2 chain (conv->pool x3 + residual), batch {batch}, bf16 ==")
+    t_x = timeit(fx, x, iters=10)
+    t_p = timeit(fp, x, iters=10)
+    keep = "PALLAS-POOLS" if t_p < t_x else "XLA"
+    print(f"xla {t_x:7.3f} ms | xla-convs+pallas-pools {t_p:7.3f} ms -> {keep} (|d|={d:.3f})")
+    return t_p, t_x
 
 
 def main():
@@ -32,6 +183,10 @@ def main():
     from roomnet_tpu.ops import blocks as B
     from roomnet_tpu.ops.pallas.dense_head import dense_head_pallas
     from roomnet_tpu.params import schema
+
+    bench_pool_kernels()
+    bench_conv_attempt()
+    bench_b2_chain()
 
     v = schema.unflatten_variables(dict(np.load("artifacts/roomnet_params.npz")))
 
