@@ -1,0 +1,53 @@
+"""TFLite export: pure-builtins conversion + numerical parity with the JAX
+forward (the _tf_forward twin in params/export.py must track any model
+change). TF is an offline-only dependency — skipped when absent."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from roomnet_tpu.models.roomnet import forward, init_variables
+from tests.tiny import TINY
+
+tf = pytest.importorskip("tensorflow")
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    from roomnet_tpu.params.export import export_tflite
+
+    variables = init_variables(jax.random.PRNGKey(0), TINY)
+    out = str(tmp_path_factory.mktemp("export") / "tiny.tflite")
+    # Conversion with TFLITE_BUILTINS only: needing any Flex/SELECT op is a
+    # conversion-time failure, so success here IS the no-Flex assertion.
+    export_tflite(variables, out, TINY)
+    return variables, out
+
+
+def test_tflite_matches_jax_forward(exported):
+    variables, model_path = exported
+    interp = tf.lite.Interpreter(model_path=model_path)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+    assert list(inp["shape"]) == [1, TINY.im_side, TINY.im_side, 3]
+
+    rng = np.random.RandomState(0)
+    worst = 0.0
+    for i in range(4):
+        x = rng.uniform(-1, 1, (1, TINY.im_side, TINY.im_side, 3)).astype(np.float32)
+        interp.set_tensor(inp["index"], x)
+        interp.invoke()
+        probs = interp.get_tensor(out["index"])
+        want = np.asarray(jax.nn.softmax(forward(exported[0], x, TINY), -1))
+        worst = max(worst, float(np.abs(probs - want).max()))
+        assert probs.argmax() == want.argmax()
+    assert worst < 1e-4, worst
+
+
+def test_tflite_ops_are_builtins_only(exported):
+    """Inspect the flatbuffer opcodes: no FlexOps / custom ops."""
+    _, model_path = exported
+    blob = open(model_path, "rb").read()
+    assert b"Flex" not in blob and b"XlaCallModule" not in blob
