@@ -90,6 +90,11 @@ class TrainConfig:
     # README.md:34-38 curriculum as data (approximate step boundaries):
     @staticmethod
     def reference_curriculum(total_steps: int = 160_000) -> tuple[Phase, ...]:
+        # Moving BN stats must keep updating in EVERY batch-stats phase up
+        # to the freeze: a measured 6k-step run with phase 3 set to
+        # update_bn_moving=False collapsed from 0.33 to chance at the
+        # phase-4 boundary — the frozen forward inherited stats that were
+        # last updated 1500 steps of weight-training earlier.
         q = total_steps // 4
         return (
             Phase(until_step=q, batch_size=8, compute_bn_mean_var=True,
@@ -97,7 +102,7 @@ class TrainConfig:
             Phase(until_step=2 * q, batch_size=32, compute_bn_mean_var=True,
                   update_bn_moving=True, dropout_enabled=True, dropout_rate=0.3),
             Phase(until_step=3 * q, batch_size=40, compute_bn_mean_var=True,
-                  update_bn_moving=False, dropout_enabled=True, dropout_rate=0.3),
+                  update_bn_moving=True, dropout_enabled=True, dropout_rate=0.3),
             Phase(until_step=1 << 62, batch_size=45, compute_bn_mean_var=False,
                   update_bn_moving=False),
         )

@@ -79,6 +79,12 @@ def test_phase_schedule_selection():
     # BN freeze curriculum: batch stats on early, frozen late (README.md:34-38)
     assert phase_at(phases, 0).compute_bn_mean_var
     assert not phase_at(phases, 399).compute_bn_mean_var
+    # Moving stats must track until the freeze: every batch-stats phase
+    # updates them (a stale-stats freeze collapses accuracy to chance —
+    # measured in the round-2 6k-step run).
+    for step in (0, 150, 250):
+        ph = phase_at(phases, step)
+        assert ph.compute_bn_mean_var and ph.update_bn_moving, step
 
 
 def test_trainer_curriculum_phase_transitions(data_dir):
