@@ -116,33 +116,79 @@ def main():
     log(f"training: {train_ips:.0f} img/s (reference: {REF_TRAIN_IPS:.1f})")
 
     # ---- end-to-end directory inference (decode -> device -> argmax) ------
+    # THE canonical e2e harness (PERF.md and README quote this number):
+    # 1839 images — the reference val-set size (README.md:3) — as 640x480
+    # q88 JPEGs with photo-like structured content (64 unique images
+    # replicated; decode cost is per-file and content-realistic, unlike the
+    # pure-noise JPEGs an earlier bench used, whose entropy decoding is
+    # pathologically slow).
     e2e_ips = None
+    clf = None
     try:
+        import shutil
         import tempfile
 
         import cv2
 
         from roomnet_tpu.infer.classify import RoomNetClassifier
+        from tools.make_synth_dataset import make_image
 
         tmp = tempfile.mkdtemp(prefix="bench_e2e_")
-        base = rng.randint(0, 256, (60, 80, 3), dtype=np.uint8)
-        paths = []
-        for i in range(512):
-            im = cv2.resize(base, (640, 480), interpolation=cv2.INTER_CUBIC)
-            im = np.clip(
-                im.astype(int) + rng.randint(-40, 40, (480, 640, 3)), 0, 255
-            ).astype(np.uint8)
-            p = os.path.join(tmp, f"img_{i:04d}.jpg")
+        gen = np.random.RandomState(0)
+        uniq = []
+        for i in range(64):
+            im = make_image(i % 6, gen, 480, 640)[:, :, ::-1]  # BGR for imwrite
+            p = os.path.join(tmp, f"u_{i:02d}.jpg")
             cv2.imwrite(p, im, [cv2.IMWRITE_JPEG_QUALITY, 88])
+            uniq.append(p)
+        paths = []
+        for i in range(1839):
+            p = os.path.join(tmp, f"img_{i:04d}.jpg")
+            shutil.copy(uniq[i % 64], p)
             paths.append(p)
         clf = RoomNetClassifier(variables, cfg, batch_size=BATCH)
         clf.predict_paths(paths[:4])  # warm compile
         t0 = time.perf_counter()
         _, _, ok = clf.predict_paths(paths)
         e2e_ips = int(ok.sum()) / (time.perf_counter() - t0)
-        log(f"end-to-end directory inference: {e2e_ips:.0f} img/s")
+        log(f"end-to-end directory inference (1839 imgs): {e2e_ips:.0f} img/s")
     except Exception as e:  # e2e is an extra; never fail the bench on it
         log(f"e2e segment skipped: {type(e).__name__}: {e}")
+
+    # ---- steady-state serving latency (persistent daemon, warm device) ----
+    serve_p50_ms = None
+    try:
+        import urllib.request
+
+        from roomnet_tpu.infer.server import ClassifierServer
+
+        # Serving uses a SMALL device batch: the daemon pads every device
+        # call to the classifier's batch size, and a 256-batch pad ships
+        # 38 MB through the host->device link per lone request (measured
+        # 425 ms p50). Batch 8 is the sensible single-stream serving shape.
+        srv = ClassifierServer(
+            RoomNetClassifier(variables, cfg, batch_size=8), port=0,
+        ).start()
+        body = open(uniq[0], "rb").read()
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/classify", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                r.read()
+
+        post()  # warm the daemon's device path
+        lat = []
+        for _ in range(40):
+            t0 = time.perf_counter()
+            post()
+            lat.append(time.perf_counter() - t0)
+        srv.stop()
+        serve_p50_ms = float(np.percentile(lat, 50) * 1e3)
+        log(f"steady-state serving p50 (HTTP+decode+device): {serve_p50_ms:.2f} ms")
+    except Exception as e:
+        log(f"serving-latency segment skipped: {type(e).__name__}: {e}")
 
     result = {
         "metric": "batched inference images/sec/chip @224x224 (bf16, batch 256)",
@@ -153,9 +199,13 @@ def main():
             "end_to_end_dir_inference_images_per_sec": (
                 round(e2e_ips, 1) if e2e_ips else None
             ),
+            "e2e_harness": "1839 x 640x480 q88 JPEGs, photo-like content",
             "train_images_per_sec_batch45": round(train_ips, 1),
             "reference_train_images_per_sec_gtx1070": round(REF_TRAIN_IPS, 1),
             "p50_single_image_latency_ms": round(p50_ms, 3),
+            "steady_state_serving_p50_ms": (
+                round(serve_p50_ms, 3) if serve_p50_ms else None
+            ),
             "device": str(jax.devices()[0]),
             "vs_baseline_note": "our train img/s / reference train img/s "
             "(only throughput derivable from published artifacts)",
