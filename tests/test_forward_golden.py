@@ -43,6 +43,29 @@ def test_softmax_and_argmax_match(forward_golden, converted_variables):
     np.testing.assert_allclose(np.asarray(probs), forward_golden["softmax"], atol=SOFTMAX_ATOL)
 
 
+def test_wide_golden_batch_parity(converted_variables):
+    """Round-2 widening of the parity evidence: a 64-image batch (procedural
+    photo-like structures, documentation crops, gradients, noise; 5 of 6
+    classes represented) from the frozen TF graph. f32 logits <= 1e-4 and
+    argmax exact; bf16 serving mode keeps exact argmax."""
+    import os
+
+    import pytest
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "forward_golden_wide.npz")
+    if not os.path.exists(path):
+        pytest.skip("wide golden fixture missing (tools/make_golden.py)")
+    g = dict(np.load(path))
+    from roomnet_tpu.models.roomnet import FAST_CONFIG
+
+    x = normalize_bgr_uint8(jnp.asarray(g["x_uint8_bgr"]))
+    logits = np.asarray(jax.jit(lambda v, x: forward(v, x))(converted_variables, x))
+    np.testing.assert_allclose(logits, g["logits"], atol=LOGITS_ATOL)
+    np.testing.assert_array_equal(logits.argmax(-1), g["argmax"])
+    logits_bf16 = np.asarray(forward(converted_variables, x, FAST_CONFIG))
+    np.testing.assert_array_equal(logits_bf16.argmax(-1), g["argmax"])
+
+
 def test_logits_are_relu6_clipped(forward_golden, converted_variables):
     """Reference quirk: dense_block applies ReLU6 to the logits layer too
     (network.py:214) — outputs must lie in [0, 6]."""

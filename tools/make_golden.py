@@ -69,6 +69,71 @@ def make_forward_golden():
     print("forward golden:", logits.shape, "preds", preds)
 
 
+def make_forward_golden_wide():
+    """A 64-image golden batch (round-2 widening of the 8-image pin):
+    procedural photo-like structures at varied scales/colors + documentation
+    PNG crops + gradients + noise, so the parity gate samples a far larger
+    slice of the decision surface than the original fixture."""
+    import tensorflow.compat.v1 as tf
+
+    tf.disable_eager_execution()
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import cv2
+    from glob import glob
+
+    from make_synth_dataset import make_image
+
+    rng = np.random.RandomState(20260817)
+    ims = []
+    for i in range(40):  # structured procedural content, 6 class families
+        im = make_image(i % 6, rng, 224, 224)[:, :, ::-1]  # BGR
+        ims.append(np.ascontiguousarray(im))
+    for p in sorted(glob("/root/reference/documentation/*.png")) * 2:
+        if len(ims) >= 56:
+            break
+        im = cv2.imread(p)
+        if im is None:
+            continue
+        h, w = im.shape[:2]
+        side = min(h, w)
+        y0 = rng.randint(h - side + 1)
+        x0 = rng.randint(w - side + 1)
+        ims.append(cv2.resize(im[y0 : y0 + side, x0 : x0 + side], (224, 224)))
+    while len(ims) < 62:  # smooth gradients (exercise near-tie logits)
+        g = np.linspace(0, 255, 224, dtype=np.float32)
+        im = np.stack(
+            [np.outer(g, np.ones(224)) * rng.rand(),
+             np.outer(np.ones(224), g) * rng.rand(),
+             np.full((224, 224), rng.randint(256), np.float32)], -1)
+        ims.append(im.astype(np.uint8))
+    while len(ims) < 64:
+        ims.append(rng.randint(0, 256, size=(224, 224, 3), dtype=np.uint8))
+    x_uint8 = np.stack(ims, axis=0)
+    x_norm = ((x_uint8[:, :, :, ::-1].astype(np.float64) / 255.0) * 2.0 - 1.0).astype(
+        np.float32
+    )
+    graph = tf.Graph()
+    with graph.as_default():
+        saver = tf.train.import_meta_graph(REF_CKPT + ".meta")
+        x_ph = graph.get_tensor_by_name("input_x_tensor:0")
+        softmax_ts = [op.outputs[0] for op in graph.get_operations() if op.type == "Softmax"]
+        logits_ts = softmax_ts[0].op.inputs[0]
+        with tf.Session(graph=graph) as sess:
+            saver.restore(sess, REF_CKPT)
+            logits, probs = sess.run([logits_ts, softmax_ts[0]], feed_dict={x_ph: x_norm})
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "forward_golden_wide.npz"),
+        x_uint8_bgr=x_uint8,
+        logits=logits,
+        softmax=probs,
+        argmax=probs.argmax(-1),
+    )
+    print("wide forward golden:", logits.shape,
+          "class histogram", np.bincount(probs.argmax(-1), minlength=6))
+
+
 def make_resize_golden():
     import tensorflow.compat.v1 as tf
 
