@@ -52,6 +52,9 @@ def cmd_train(args):
         seed=args.seed,
         restore_head=not args.fresh_head,
         ckpt_backend=args.ckpt_backend,
+        stall_timeout_s=args.stall_timeout,
+        stall_abort=args.stall_abort,
+        val_use_batch_stats={"phase": None, "batch": True, "moving": False}[args.val_bn],
     )
     if args.curriculum:
         kwargs["phases"] = TrainConfig.reference_curriculum(args.steps)
@@ -137,7 +140,8 @@ def cmd_serve(args):
         _load_variables(args.params, args.model_dir), cfg, batch_size=args.batch_size
     )
     print(f"serving on http://{args.host}:{args.port}  (POST /classify)")
-    ClassifierServer(clf, host=args.host, port=args.port).serve_forever()
+    ClassifierServer(clf, host=args.host, port=args.port,
+                     warmup=not args.no_warmup).serve_forever()
 
 
 def cmd_bench(args):
@@ -167,6 +171,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the batch over all local devices")
     t.add_argument("--ckpt-backend", choices=["npz", "orbax"], default="npz",
                    help="checkpoint store: portable npz or async orbax")
+    t.add_argument("--stall-timeout", type=float, default=600.0,
+                   help="watchdog: warn + emergency-checkpoint when no step "
+                        "completes for this many seconds (0 disables)")
+    t.add_argument("--stall-abort", action="store_true",
+                   help="watchdog escalation: interrupt training after the "
+                        "emergency checkpoint (clean shutdown path)")
+    t.add_argument("--val-bn", choices=["phase", "batch", "moving"],
+                   default="phase",
+                   help="validation BN statistics: 'phase' follows the "
+                        "active phase's compute_bn_mean_var (reference "
+                        "nn.infer semantics), or force batch/moving stats")
     t.add_argument("--precision", choices=["bf16", "f32"], default="bf16",
                    help="bf16 = fast mixed-precision (default; f32 params, "
                         "bf16 compute); f32 = full-precision parity mode")
@@ -230,6 +245,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=8000)
     s.add_argument("--batch-size", type=int, default=32)
     s.add_argument("--exact", action="store_true")
+    s.add_argument("--no-warmup", action="store_true",
+                   help="skip the compile-before-bind warmup")
     s.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="run the benchmark")
