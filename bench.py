@@ -123,7 +123,6 @@ def main():
     # pure-noise JPEGs an earlier bench used, whose entropy decoding is
     # pathologically slow).
     e2e_ips = None
-    clf = None
     try:
         import shutil
         import tempfile
@@ -158,9 +157,14 @@ def main():
     # ---- steady-state serving latency (persistent daemon, warm device) ----
     serve_p50_ms = None
     try:
+        import tempfile
         import urllib.request
 
+        import cv2
+
+        from roomnet_tpu.infer.classify import RoomNetClassifier
         from roomnet_tpu.infer.server import ClassifierServer
+        from tools.make_synth_dataset import make_image
 
         # Serving uses a SMALL device batch: the daemon pads every device
         # call to the classifier's batch size, and a 256-batch pad ships
@@ -169,7 +173,11 @@ def main():
         srv = ClassifierServer(
             RoomNetClassifier(variables, cfg, batch_size=8), port=0,
         ).start()
-        body = open(uniq[0], "rb").read()
+        # Self-contained request image (independent of the e2e segment).
+        img_path = os.path.join(tempfile.mkdtemp(prefix="bench_srv_"), "req.jpg")
+        cv2.imwrite(img_path, make_image(2, np.random.RandomState(1), 480, 640)[:, :, ::-1],
+                    [cv2.IMWRITE_JPEG_QUALITY, 88])
+        body = open(img_path, "rb").read()
 
         def post():
             req = urllib.request.Request(

@@ -20,10 +20,13 @@ k-window then becomes lane rolls by multiples of C; the vertical window is
 sublane rolls. Stride 2 compacts lanes with a reshape to a
 stride*C-grouped layout (static slice, no gather).
 
-Grid: (batch, row-chunks). The input block is the whole image with an
-index map independent of the chunk axis — Mosaic keeps it resident across
-the inner grid steps — while each step computes one chunk of output rows,
-bounding the f32 working set so everything fits VMEM at 218^2 x 32 x b256.
+Grid: one program per batch image (whole-image in/out blocks, which Mosaic
+double-buffers across grid steps); inside the kernel an UNROLLED strip
+loop computes <=48 output rows at a time, bounding the f32 working set so
+blocks + temporaries fit the 16 MB VMEM at 218^2 x 32 x b256. (An
+outer-grid row-chunk axis is not expressible here: output blocks must have
+row counts divisible by 8 or equal to the full dim, and the real H_out
+values — 215, 220, 205 — have no such divisors.)
 """
 
 from __future__ import annotations

@@ -135,6 +135,7 @@ class Trainer:
             self.store = CheckpointStore(tc.model_dir)
         self._compiled: dict = {}
         self._infer_fns: dict = {}
+        self._invoked_sigs: set = set()  # (phase-key, shape) already compiled
 
     # -- state ------------------------------------------------------------
     def init_state(self, rng: jax.Array | None = None) -> TrainState:
@@ -271,12 +272,18 @@ class Trainer:
         )
         from roomnet_tpu.utils.watchdog import StepWatchdog
 
-        # Stall escalation (runs on the watchdog thread): checkpoint the last
-        # *completed* state (saved via device_get — best effort if the device
-        # itself is wedged), then optionally interrupt the main thread.
-        self._live_state = None
+        # Stall escalation (runs on the watchdog thread). Order matters: the
+        # abort interrupt fires FIRST — the emergency save device_gets the
+        # last *completed* state, which is best-effort on a wedged device
+        # session and may block this (daemon) thread; the interrupt must not
+        # be sequenced behind it.
+        self._live_state = None  # last state whose metrics were fetched
 
         def _on_stall(info):
+            if tc.stall_abort:
+                import _thread
+
+                _thread.interrupt_main()
             st = self._live_state
             if tc.stall_checkpoint and st is not None:
                 path = self.store.save(
@@ -284,10 +291,6 @@ class Trainer:
                     opt_state_flat=flatten_opt_state(st.opt_state),
                 )
                 print(f"Stall: emergency checkpoint written to {path}")
-            if tc.stall_abort:
-                import _thread
-
-                _thread.interrupt_main()
 
         watchdog = (
             StepWatchdog(tc.stall_timeout_s, on_stall=_on_stall)
@@ -333,9 +336,15 @@ class Trainer:
                         if tc.val_use_batch_stats is None
                         else tc.val_use_batch_stats
                     )
+                    # Validation (incl. its one-time infer compile) can
+                    # legitimately exceed the stall timeout — not a stall.
+                    if watchdog:
+                        watchdog.pause()
                     y_vals, y_preds = self.run_validation(
                         state, val_reader, use_batch_stats=val_bn
                     )
+                    if watchdog:
+                        watchdog.resume()
                     entry = make_stats_entry(int(state.step), y_vals, y_preds)
                     self.store.save(
                         state.variables(self.cfg),
@@ -351,8 +360,22 @@ class Trainer:
                 pending = None
                 rng, sub = jax.random.split(rng)
                 t0 = time.perf_counter()
+                # First call of a (phase, batch-shape) signature triggers the
+                # XLA compile — minutes on a remote compiler in f32 mode, an
+                # expected silence the watchdog must not escalate on.
+                sig = (ph.dropout_enabled, ph.dropout_rate,
+                       ph.compute_bn_mean_var, ph.update_bn_moving, x.shape)
+                first_compile = sig not in self._invoked_sigs
+                if first_compile and watchdog:
+                    watchdog.pause()
                 state, metrics = self._step_fn(ph)(state, x, y, sub)
-                self._live_state = state  # for the stall-escalation callback
+                if first_compile:
+                    self._invoked_sigs.add(sig)
+                    if watchdog:
+                        # resume after completion: the compile ends when the
+                        # first result lands
+                        jax.block_until_ready(metrics["loss"])
+                        watchdog.resume()
                 # While the (async-dispatched) step runs, stage next batch.
                 if it + 1 < start_step + total_steps:
                     pending = fetch_next()
@@ -362,6 +385,15 @@ class Trainer:
                     # device session).
                     loss = float(metrics["loss"])
                     lr = float(metrics["learn_rate"])
+                    # This state's step has COMPLETED (its metrics landed) —
+                    # safe for the stall-escalation emergency save; a
+                    # merely-dispatched state's buffers would block
+                    # device_get on the exact wedged session being detected.
+                    # COPY on device: the originals are donated into the next
+                    # step call and would be deleted by the time a stall fires.
+                    self._live_state = jax.tree_util.tree_map(
+                        lambda a: jax.numpy.array(a, copy=True), state
+                    )
                     if watchdog:
                         watchdog.beat(it)
                     dt = time.perf_counter() - t0

@@ -36,6 +36,7 @@ class StepWatchdog:
         self._last_beat = time.monotonic()
         self._last_step = None
         self._stalls = 0
+        self._paused = False
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -43,6 +44,17 @@ class StepWatchdog:
     def beat(self, step=None):
         self._last_beat = time.monotonic()
         self._last_step = step
+
+    # -- pause window ---------------------------------------------------------
+    # For known-long operations that cannot beat (first-compile of a phase's
+    # step on the remote compiler takes minutes; a full validation epoch):
+    # silence inside a pause window is expected, not a stall.
+    def pause(self):
+        self._paused = True
+
+    def resume(self):
+        self.beat(self._last_step)
+        self._paused = False
 
     @property
     def stall_count(self) -> int:
@@ -55,6 +67,8 @@ class StepWatchdog:
         log = get_logger("watchdog")
         fired_for_beat = None
         while not self._stop.wait(self.check_interval_s):
+            if self._paused:
+                continue
             silent = time.monotonic() - self._last_beat
             if silent > self.timeout_s and fired_for_beat != self._last_beat:
                 self._stalls += 1

@@ -297,7 +297,10 @@ def test_stall_abort_interrupts_training(data_dir):
     t0 = time.monotonic()
     with pytest.raises(KeyboardInterrupt):
         tr.train(total_steps=5, log_every=1)
-    assert time.monotonic() - t0 < 10  # aborted, not 5 steps x 5 s
+    # Step 0's slowness is inside the first-compile pause window (expected
+    # silence); the stall fires during step 1 -> ~2 sleeps + overhead, far
+    # short of 5 steps x 5 s.
+    assert time.monotonic() - t0 < 18
 
 
 def test_trainer_with_orbax_backend(data_dir):

@@ -30,6 +30,24 @@ def test_watchdog_quiet_when_beating():
     assert wd.stall_count == 0
 
 
+def test_watchdog_pause_suppresses_stalls():
+    """Known-long silent operations (first XLA compile of a phase, a full
+    validation epoch) pause the watchdog; silence inside the window is not
+    a stall, and detection re-arms on resume."""
+    fired = []
+    wd = StepWatchdog(timeout_s=0.3, on_stall=fired.append, check_interval_s=0.05)
+    with wd:
+        wd.pause()
+        time.sleep(0.8)  # would be 2+ stalls if armed
+        assert wd.stall_count == 0
+        wd.resume()
+        time.sleep(0.15)
+        assert wd.stall_count == 0  # resume() beats — fresh window
+        time.sleep(0.6)  # genuine post-resume stall
+        assert wd.stall_count >= 1
+    assert fired
+
+
 def test_optimizer_state_continuity_across_resume(tmp_path):
     """Resume restores Adam m/v and count so the update sequence continues
     exactly as if never interrupted."""

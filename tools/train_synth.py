@@ -66,7 +66,13 @@ def main():
     state = trainer.train(total_steps=args.steps, log_every=25)
     wall = time.time() - t0
 
-    stats = json.load(open(tc.stats_fpath))
+    stats = (
+        json.load(open(tc.stats_fpath)) if os.path.isfile(tc.stats_fpath) else []
+    )
+    if not stats:  # steps < save_freq: no validation ever ran
+        print(json.dumps({"steps": int(state.step), "wall_s": round(wall, 1),
+                          "n_validations": 0}))
+        return
     best = max(stats, key=lambda s: s["accuracy"])
     tail = [s["accuracy"] for s in stats[-5:]]
     from roomnet_tpu.train.loop import phase_at
