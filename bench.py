@@ -192,10 +192,37 @@ def main():
             t0 = time.perf_counter()
             post()
             lat.append(time.perf_counter() - t0)
-        srv.stop()
         serve_p50_ms = float(np.percentile(lat, 50) * 1e3)
         log(f"steady-state serving p50 (HTTP+decode+device): {serve_p50_ms:.2f} ms")
+        # Concurrent throughput: the worker coalesces queued requests into
+        # one padded device call, so aggregate req/s should far exceed
+        # 1/p50 under load (the micro-batching design claim, measured).
+        import threading
+
+        n_req = 64
+        errs = []
+
+        def hit():
+            try:
+                post()
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=hit) for _ in range(n_req)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        srv.stop()
+        if not errs:
+            serve_rps = n_req / (time.perf_counter() - t0)
+            log(f"concurrent serving throughput ({n_req} in-flight): {serve_rps:.1f} req/s")
+        else:
+            serve_rps = None
+            log(f"concurrent segment errors: {len(errs)}")
     except Exception as e:
+        serve_rps = None
         log(f"serving-latency segment skipped: {type(e).__name__}: {e}")
 
     result = {
@@ -213,6 +240,9 @@ def main():
             "p50_single_image_latency_ms": round(p50_ms, 3),
             "steady_state_serving_p50_ms": (
                 round(serve_p50_ms, 3) if serve_p50_ms else None
+            ),
+            "concurrent_serving_req_per_sec": (
+                round(serve_rps, 1) if serve_rps else None
             ),
             "device": str(jax.devices()[0]),
             "vs_baseline_note": "our train img/s / reference train img/s "

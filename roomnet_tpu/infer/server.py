@@ -179,7 +179,16 @@ class ClassifierServer:
     def start(self):
         if self.warmup:
             self._warmup()
-        self._httpd = ThreadingHTTPServer((self.host, self.port), self._make_handler())
+
+        # Default listen backlog is 5: a burst of concurrent clients beyond
+        # that gets connection-refused at the socket before any handler
+        # runs (measured: 11/64 failures in a 64-way burst). Size it for
+        # the micro-batching design, which WANTS deep request queues.
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+            daemon_threads = True
+
+        self._httpd = _Server((self.host, self.port), self._make_handler())
         self.port = self._httpd.server_address[1]  # resolve port 0
         self._threads = [
             threading.Thread(target=self._worker, daemon=True),

@@ -131,6 +131,26 @@ def test_max_batch_larger_than_device_batch_is_clamped():
         srv.stop()
 
 
+def test_burst_of_64_concurrent_requests_all_succeed(server):
+    """Regression: the stock ThreadingHTTPServer listen backlog (5) refused
+    connections under burst load before any handler ran."""
+    results = {}
+
+    def hit(i):
+        try:
+            results[i] = _post(server, "/classify", _img_bytes(seed=i % 4))
+        except Exception as e:  # connection refused/reset
+            results[i] = ("EXC", repr(e))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(64)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    failures = {i: r for i, r in results.items() if r[0] != 200}
+    assert not failures, f"{len(failures)} failed: {list(failures.values())[:3]}"
+
+
 def test_warmup_compiles_before_serving():
     clf = RoomNetClassifier(
         init_variables(jax.random.PRNGKey(2), TINY), TINY,
