@@ -145,7 +145,12 @@ def cmd_serve(args):
 
 
 def cmd_bench(args):
-    import bench  # repo-root bench.py
+    # bench.py lives at the repo root, one level above the package — make it
+    # importable regardless of the caller's working directory.
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
 
     bench.main()
 

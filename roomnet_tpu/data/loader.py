@@ -161,6 +161,11 @@ class TrainFeeder:
         start: bool = True,
     ):
         self.fpaths = np.array([l for l in fpaths if l.strip()])
+        if len(self.fpaths) == 0:
+            raise ValueError(
+                "TrainFeeder: no usable paths — the list is empty or blank "
+                "(stale/empty train_list.txt / val_list.txt?)"
+            )
         self.shuffle = shuffle
         self.random_crop = random_crop
         self.augment = preprocess

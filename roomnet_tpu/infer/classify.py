@@ -85,17 +85,24 @@ class RoomNetClassifier:
 
         if native.available():
             probed = native.probe(fpath)
-            if probed is None:
-                return None
-            h, w = probed
-            from roomnet_tpu.data.loader import draw_crop_rect
+            if probed is not None:
+                h, w = probed
+                from roomnet_tpu.data.loader import draw_crop_rect
 
-            crop = draw_crop_rect(h, w, random_crop=False, rng=None)
-            return native.load_preprocess(
-                fpath, crop, self.cfg.im_side,
-                min_decode_side=self.min_decode_side,
-            )
+                crop = draw_crop_rect(h, w, random_crop=False, rng=None)
+                out = native.load_preprocess(
+                    fpath, crop, self.cfg.im_side,
+                    min_decode_side=self.min_decode_side,
+                )
+                if out is not None:
+                    return out
+            # Native handles JPEG/PNG only — fall through to cv2 so
+            # BMP/TIFF/WebP classify identically on both backends (same
+            # per-image fallback as the training loader).
 
+        return self._load_cv2(fpath)
+
+    def _load_cv2(self, fpath: str) -> np.ndarray | None:
         import cv2
 
         im = cv2.imread(fpath)
@@ -147,7 +154,13 @@ class RoomNetClassifier:
                         min_decode_side=self.min_decode_side,
                     )
                     ok_mask &= np.array([pr is not None for pr in probes])
-                    ims = [batch[k] if ok_mask[k] else None for k in range(m)]
+                    # Per-image cv2 retry for files the native decoder can't
+                    # read (it is JPEG/PNG-only) — backend presence must not
+                    # change which images get classified.
+                    ims = [
+                        batch[k] if ok_mask[k] else self._load_cv2(paths[k])
+                        for k in range(m)
+                    ]
                     return idxs, ims
                 ims = list(pool.map(self._load, paths))
                 return idxs, ims

@@ -32,12 +32,13 @@ import numpy as np
 
 
 class _Job:
-    __slots__ = ("image", "event", "result")
+    __slots__ = ("image", "event", "result", "error")
 
     def __init__(self, image):
         self.image = image
         self.event = threading.Event()
         self.result = None
+        self.error = None  # "device_error" when the batch's device call failed
 
 
 class ClassifierServer:
@@ -101,6 +102,7 @@ class ClassifierServer:
                     probs = np.asarray(probs)
             except Exception:  # device error: fail THESE requests, keep serving
                 for job in batch_jobs:
+                    job.error = "device_error"
                     job.event.set()
                 continue
             for i, job in enumerate(batch_jobs):
@@ -168,11 +170,19 @@ class ClassifierServer:
                     image = server_self._preprocess(body)
                     job = _Job(image)
                     server_self._jobs.put(job)
-                    job.event.wait(timeout=30)
-                if job.result is None:
-                    self._send(400, {"error": "undecodable image or timeout"})
-                else:
+                    done = job.event.wait(timeout=30)
+                if job.result is not None:
                     self._send(200, job.result)
+                elif image is None:
+                    self._send(400, {"error": "undecodable image"})
+                elif job.error == "device_error":
+                    # Server-side failure on a valid request: 5xx so HTTP
+                    # clients retry instead of treating it as caller error.
+                    self._send(503, {"error": "inference backend failure"})
+                elif not done:
+                    self._send(504, {"error": "inference timeout"})
+                else:
+                    self._send(503, {"error": "inference unavailable"})
 
         return Handler
 

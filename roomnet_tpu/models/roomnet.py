@@ -247,7 +247,6 @@ def update_moving_stats(
     new = momentum * old + (1 - momentum) * batch  (unbiased var for the
     moving variance, matching fused BN's Bessel-corrected update).
     """
-    variables = jax.tree_util.tree_map(lambda v: v, variables)  # shallow-ish copy
 
     def upd(bn, st):
         return {

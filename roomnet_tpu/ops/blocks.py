@@ -24,6 +24,7 @@ __all__ = [
     "conv2d_valid",
     "relu6",
     "avg_pool_valid",
+    "bn_fold",
     "batch_norm",
     "batch_norm_train",
     "dense",
@@ -99,18 +100,28 @@ def avg_pool_valid(x: jnp.ndarray, ksize: int, stride: int) -> jnp.ndarray:
     return summed / jnp.asarray(ksize * ksize, x.dtype)
 
 
+def bn_fold(bn: dict, eps: float = BN_EPS) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold moving-stats BN into one f32 affine: y = x*w + b.
+
+    THE canonical fold — pool/dense-head kernels and the TFLite exporter
+    all consume this, so a parity fix here propagates everywhere.
+    """
+    inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + eps)
+    w = bn["scale"].astype(jnp.float32) * inv
+    b = (
+        bn["bias"].astype(jnp.float32)
+        - bn["mean"].astype(jnp.float32) * bn["scale"].astype(jnp.float32) * inv
+    )
+    return w, b
+
+
 def batch_norm(x: jnp.ndarray, bn: dict, eps: float = BN_EPS) -> jnp.ndarray:
     """Inference-mode BN using stored moving statistics.
 
     Folded to a single multiply-add so XLA fuses it into the producer op.
     """
-    inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + eps)
-    w = (bn["scale"].astype(jnp.float32) * inv).astype(x.dtype)
-    b = (
-        bn["bias"].astype(jnp.float32)
-        - bn["mean"].astype(jnp.float32) * bn["scale"].astype(jnp.float32) * inv
-    ).astype(x.dtype)
-    return x * w + b
+    w, b = bn_fold(bn, eps)
+    return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 
 def batch_norm_train(

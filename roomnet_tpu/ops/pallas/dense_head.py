@@ -21,13 +21,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from roomnet_tpu.ops.blocks import BN_EPS
+from roomnet_tpu.ops.blocks import BN_EPS, bn_fold
 
 
 def _fold_bn(bn: dict, dtype):
-    inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + BN_EPS)
-    w = bn["scale"].astype(jnp.float32) * inv
-    b = bn["bias"].astype(jnp.float32) - bn["mean"].astype(jnp.float32) * w
+    w, b = bn_fold(bn, BN_EPS)
     return w.astype(dtype), b.astype(dtype)
 
 

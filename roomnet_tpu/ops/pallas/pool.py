@@ -142,12 +142,8 @@ def fused_relu6_pool_bn(
 
 
 def bn_affine_params(bn: dict, eps: float) -> tuple[np.ndarray, np.ndarray]:
-    """Fold BN moving stats into (w, b) for the kernel epilogue
-    (same arithmetic as ops/blocks.py:batch_norm)."""
-    inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + eps)
-    w = bn["scale"].astype(jnp.float32) * inv
-    b = (
-        bn["bias"].astype(jnp.float32)
-        - bn["mean"].astype(jnp.float32) * bn["scale"].astype(jnp.float32) * inv
-    )
-    return w, b
+    """Fold BN moving stats into (w, b) for the kernel epilogue — the
+    canonical fold from ops/blocks.py."""
+    from roomnet_tpu.ops.blocks import bn_fold
+
+    return bn_fold(bn, eps)

@@ -56,7 +56,12 @@ class CheckpointStore:
                 flat[f"opt/{k}"] = np.asarray(v)
         flat["meta/step"] = np.asarray(step, dtype=np.int64)
         path = self._path(step, suffix)
-        np.savez(path, **flat)
+        # Atomic write: resume-latest picks the max-step FILE, so a crash or
+        # interrupt (incl. the stall_abort escalation) mid-savez must never
+        # leave a truncated max-step checkpoint that bricks every resume.
+        tmp = path[: -len(".npz")] + ".tmp.npz"  # np.savez appends .npz itself
+        np.savez(tmp, **flat)
+        os.replace(tmp, path)
         return path
 
     def latest_path(self) -> str | None:
@@ -118,7 +123,20 @@ class CheckpointStore:
 
 
 def merge_partial_restore(fresh_variables, restored_flat, cfg=DEFAULT_CONFIG):
-    """Overlay restored tensors onto a freshly-initialized variable tree."""
+    """Overlay restored tensors onto a freshly-initialized variable tree.
+
+    Shape-mismatched tensors are skipped with a warning and keep their
+    fresh initialization — the reference's behavior when `flat_len`
+    changes (a different im_side re-inits the dense head rather than
+    crashing later inside the compiled step; network.py:78, :242)."""
     flat = schema.flatten_variables(jax.device_get(fresh_variables))
-    flat.update(restored_flat)
+    for k, v in restored_flat.items():
+        if k in flat and tuple(flat[k].shape) != tuple(np.asarray(v).shape):
+            print(
+                f"partial restore: skipping {k} "
+                f"(checkpoint {tuple(np.asarray(v).shape)} vs model "
+                f"{tuple(flat[k].shape)}) — keeping fresh init"
+            )
+            continue
+        flat[k] = v
     return schema.unflatten_variables(flat, cfg)

@@ -28,13 +28,10 @@ def _tf_forward(variables, x, cfg):
     import tensorflow as tf
 
     def bn_affine(h, bn):
-        scale = np.asarray(bn["scale"], np.float32)
-        mean = np.asarray(bn["mean"], np.float32)
-        var = np.asarray(bn["var"], np.float32)
-        bias = np.asarray(bn["bias"], np.float32)
-        a = scale / np.sqrt(var + cfg.bn_eps)
-        b = bias - mean * a
-        return h * tf.constant(a) + tf.constant(b)
+        from roomnet_tpu.ops.blocks import bn_fold
+
+        a, b = bn_fold(bn, cfg.bn_eps)  # the canonical fold (ops/blocks.py)
+        return h * tf.constant(np.asarray(a)) + tf.constant(np.asarray(b))
 
     for bi, blk in enumerate(variables["blocks"]):
         depth = len(blk["conv"])

@@ -152,10 +152,38 @@ class Trainer:
         variables = merge_partial_restore(variables, var_flat, self.cfg)
         state = init_train_state(variables, hp)
         if opt_flat:
-            state = state._replace(opt_state=unflatten_opt_state(opt_flat))
+            opt_state = unflatten_opt_state(opt_flat)
+            # A checkpoint from a different geometry (im_side change =
+            # different flat_len) carries Adam moments shaped for the old
+            # head; mixing them with re-initialized params crashes inside
+            # the step — start the optimizer fresh instead (same stance as
+            # restore_head=False).
+            mismatched = any(
+                k not in opt_state.mu
+                or tuple(np.shape(opt_state.mu[k])) != tuple(v.shape)
+                for k, v in state.train_vars.items()
+            )
+            if mismatched:
+                print("optimizer state shape-mismatched with model — fresh Adam state")
+            else:
+                state = state._replace(opt_state=opt_state)
         state = state._replace(step=jax.numpy.asarray(step, jax.numpy.int32))
         print(f"Model restored at step {step}")
         return state
+
+    def _mesh_batch(self, batch_size: int) -> int:
+        """Round a batch size to a multiple of the mesh's 'data' axis —
+        sharding the batch dim requires divisibility (jax.device_put with
+        P('data') raises otherwise). Nearest multiple, never below one row
+        per data shard; no-op without a mesh. The reference constants
+        (45, 64) predate any notion of device meshes."""
+        if self.mesh is None:
+            return batch_size
+        n = int(self.mesh.shape.get("data", 1))
+        rounded = max(n, round(batch_size / n) * n)
+        if rounded != batch_size:
+            print(f"batch {batch_size} -> {rounded} (multiple of data axis {n})")
+        return rounded
 
     def _hp(self, ph: Phase) -> TrainHParams:
         return TrainHParams(
@@ -261,12 +289,14 @@ class Trainer:
 
         ph = phase_at(tc.phases, start_step)
         train_reader = TrainFeeder(
-            train_txt, batch_size=ph.batch_size, batches_per_queue=tc.batches_per_queue,
+            train_txt, batch_size=self._mesh_batch(ph.batch_size),
+            batches_per_queue=tc.batches_per_queue,
             shuffle=True, im_side=tc.img_side, random_crop=True, preprocess=True,
             seed=tc.seed,
         )
         val_reader = TrainFeeder(
-            val_txt, batch_size=tc.val_batch_size, batches_per_queue=10,
+            val_txt, batch_size=self._mesh_batch(tc.val_batch_size),
+            batches_per_queue=10,
             shuffle=False, im_side=tc.img_side, random_crop=False, preprocess=False,
             seed=tc.seed,
         )
@@ -324,7 +354,7 @@ class Trainer:
                     train_reader.close()
                     pending = None
                     train_reader = TrainFeeder(
-                        train_txt, batch_size=new_ph.batch_size,
+                        train_txt, batch_size=self._mesh_batch(new_ph.batch_size),
                         batches_per_queue=tc.batches_per_queue, shuffle=True,
                         im_side=tc.img_side, random_crop=True, preprocess=True,
                         seed=tc.seed,
@@ -372,9 +402,11 @@ class Trainer:
                 if first_compile:
                     self._invoked_sigs.add(sig)
                     if watchdog:
-                        # resume after completion: the compile ends when the
-                        # first result lands
-                        jax.block_until_ready(metrics["loss"])
+                        # Resume only after the first result LANDS: a scalar
+                        # value fetch is a real sync — block_until_ready is
+                        # effectively async under the axon relay and would
+                        # close the pause window while the compile runs.
+                        float(metrics["loss"])
                         watchdog.resume()
                 # While the (async-dispatched) step runs, stage next batch.
                 if it + 1 < start_step + total_steps:

@@ -67,6 +67,38 @@ def test_partial_restore_excludes_dense_head(tmp_path, variables):
     )
 
 
+def test_partial_restore_skips_shape_mismatches(tmp_path, variables):
+    """A checkpoint from a different geometry (changed im_side -> different
+    flat_len) keeps the fresh init for mismatched tensors instead of
+    crashing later inside the compiled step (reference re-inits the head
+    when flat_len changes, network.py:78, :242)."""
+    import dataclasses
+
+    store = CheckpointStore(str(tmp_path))
+    store.save(variables, 7)
+    bigger = dataclasses.replace(TINY, im_side=40)  # flat_len changes
+    fresh = init_variables(jax.random.PRNGKey(4), bigger)
+    restored_flat, _ = store.load(cfg=bigger)
+    merged = merge_partial_restore(fresh, restored_flat, bigger)
+    # conv tower restored (shape-stable across im_side)
+    np.testing.assert_array_equal(
+        np.asarray(merged["blocks"][0]["conv"][0]),
+        np.asarray(variables["blocks"][0]["conv"][0]),
+    )
+    # first dense kernel kept fresh (flat_len mismatch)
+    np.testing.assert_array_equal(
+        np.asarray(merged["dense"][0]["kernel"]),
+        np.asarray(fresh["dense"][0]["kernel"]),
+    )
+
+
+def test_save_is_atomic_no_tmp_left(tmp_path, variables):
+    store = CheckpointStore(str(tmp_path))
+    p = store.save(variables, 3, suffix="0.5")
+    assert os.path.exists(p)
+    assert not any(f.endswith(".tmp") for f in os.listdir(tmp_path))
+
+
 def test_opt_state_rides_along(tmp_path, variables):
     store = CheckpointStore(str(tmp_path))
     opt_flat = {"count": np.asarray(3), "mu/dense/0/kernel": np.ones((4, 2))}

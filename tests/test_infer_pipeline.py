@@ -53,6 +53,26 @@ def test_padding_invariance(classifier, tmp_path):
         np.testing.assert_allclose(confs_batch[i], sconf[0], rtol=1e-4, atol=1e-5)
 
 
+def test_bmp_classified_on_native_backend(classifier, tmp_path):
+    """Backend presence must not change which images get classified: the
+    native data-plane is JPEG/PNG-only, so BMP (cv2-decodable) must be
+    classified via the per-image cv2 fallback, both single and batched."""
+    from roomnet_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    d = str(tmp_path / "bmp")
+    os.makedirs(d)
+    rng = np.random.RandomState(1)
+    bmp = os.path.join(d, "img.bmp")
+    cv2.imwrite(bmp, rng.randint(0, 255, (40, 56, 3), np.uint8))
+    assert native.probe(bmp) is None  # native really can't read it
+    png = _write_images(d, 2)
+    ids, confs, ok = classifier.predict_paths(png + [bmp])
+    assert ok.all(), ok
+    assert ids[2] >= 0
+
+
 def test_unreadable_files_skipped(classifier, tmp_path):
     d = str(tmp_path / "mix")
     paths = _write_images(d, 3)

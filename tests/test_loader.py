@@ -123,6 +123,11 @@ def test_feeder_skips_unreadable(tmp_path):
         assert x.shape[0] == 3  # bad image dropped, batch shrinks
 
 
+def test_feeder_rejects_empty_list():
+    with pytest.raises(ValueError, match="no usable paths"):
+        TrainFeeder(["", "\n"], batch_size=4, im_side=8, start=False)
+
+
 def test_parse_list_line_with_spaces():
     p, c = parse_list_line("C:\\data\\Living Room\\img 1.jpg 5\n")
     assert p == "C:\\data\\Living Room\\img 1.jpg" and c == 5

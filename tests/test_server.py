@@ -151,6 +151,33 @@ def test_burst_of_64_concurrent_requests_all_succeed(server):
     assert not failures, f"{len(failures)} failed: {list(failures.values())[:3]}"
 
 
+def test_device_failure_returns_503_and_recovers():
+    """A failing device call must surface as a 5xx (retryable server error,
+    not 400 caller error) and must not kill the worker."""
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(3), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    real = clf._predict
+    calls = {"n": 0}
+
+    def flaky(variables, batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated device session failure")
+        return real(variables, batch)
+
+    clf._predict = flaky
+    srv = ClassifierServer(clf, port=0).start()
+    try:
+        status, out = _post(srv, "/classify", _img_bytes())
+        assert status == 503 and "error" in out
+        status2, out2 = _post(srv, "/classify", _img_bytes())
+        assert status2 == 200 and out2["label"] in LABELS4  # recovered
+    finally:
+        srv.stop()
+
+
 def test_warmup_compiles_before_serving():
     clf = RoomNetClassifier(
         init_variables(jax.random.PRNGKey(2), TINY), TINY,

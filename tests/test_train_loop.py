@@ -152,6 +152,31 @@ def test_trainer_with_data_parallel_mesh(data_dir):
     assert int(state.step) == 4
 
 
+def test_trainer_dp_rounds_indivisible_batch(data_dir):
+    """Reference batch sizes (45, 6, ...) aren't multiples of the data axis;
+    the Trainer rounds them so P('data') sharding is valid instead of
+    crashing at the first device_put."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=6),)),
+        model_dir=str(data_dir / "models_dp45"),
+        stats_fpath=str(data_dir / "stats_dp45.json"),
+        val_batch_size=6,  # also indivisible
+    )
+    tr = Trainer(tc, cfg, mesh=make_mesh(8, 1))
+    assert tr._mesh_batch(6) == 8 and tr._mesh_batch(45) == 48
+    state = tr.train(total_steps=3, log_every=100)
+    assert int(state.step) == 3
+
+
 def test_validation_single_batch_epoch_counts_predictions(data_dir):
     """Regression: when the whole val set fits in ONE batch, the epoch
     boundary flag rides the first dequeued batch and the reference-style
