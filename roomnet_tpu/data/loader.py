@@ -261,10 +261,12 @@ class TrainFeeder:
             xs = [r[0] for r in results if r[0] is not None]
             ys = [r[1] for r in results if r[0] is not None]
             paths = [r[2] for r in results if r[0] is not None]
-        if not xs:  # whole batch unreadable — keep shape contract with zeros
-            xs = [np.zeros((self.im_side, self.im_side, 3), np.uint8)]
-            ys = [0]
-            paths = [""]
+        if not xs:  # whole batch unreadable — keep the FULL shape contract
+            # (a 1-row batch would change the jit signature, forcing a
+            # recompile, and break divisibility under a sharded mesh)
+            xs = [np.zeros((self.im_side, self.im_side, 3), np.uint8)] * self.batch_size
+            ys = [0] * self.batch_size
+            paths = [""] * self.batch_size
         return np.stack(xs), np.asarray(ys, np.int32), np.asarray(paths)
 
     def _producer(self):

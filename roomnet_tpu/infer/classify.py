@@ -156,11 +156,16 @@ class RoomNetClassifier:
                     ok_mask &= np.array([pr is not None for pr in probes])
                     # Per-image cv2 retry for files the native decoder can't
                     # read (it is JPEG/PNG-only) — backend presence must not
-                    # change which images get classified.
-                    ims = [
-                        batch[k] if ok_mask[k] else self._load_cv2(paths[k])
-                        for k in range(m)
-                    ]
+                    # change which images get classified. Retries run on the
+                    # decode pool, not serially on the orchestrator thread.
+                    ims = [batch[k] if ok_mask[k] else None for k in range(m)]
+                    failed = [k for k in range(m) if not ok_mask[k]]
+                    if failed:
+                        for k, im in zip(
+                            failed,
+                            pool.map(self._load_cv2, [paths[k] for k in failed]),
+                        ):
+                            ims[k] = im
                     return idxs, ims
                 ims = list(pool.map(self._load, paths))
                 return idxs, ims

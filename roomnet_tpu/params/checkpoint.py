@@ -36,6 +36,14 @@ class CheckpointStore:
     def __init__(self, model_dir: str = "all_trained_models/trained_models"):
         self.model_dir = model_dir
         os.makedirs(model_dir, exist_ok=True)
+        # Sweep crash leftovers from interrupted atomic saves (resume
+        # already ignores them — CKPT_RE wants digits right before .npz —
+        # but they would otherwise accumulate forever).
+        for p in glob(os.path.join(model_dir, "*.tmp.npz")):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
 
     def _path(self, step: int, suffix: str | None) -> str:
         sfx = suffix if suffix is not None else "none"
@@ -59,7 +67,9 @@ class CheckpointStore:
         # Atomic write: resume-latest picks the max-step FILE, so a crash or
         # interrupt (incl. the stall_abort escalation) mid-savez must never
         # leave a truncated max-step checkpoint that bricks every resume.
-        tmp = path[: -len(".npz")] + ".tmp.npz"  # np.savez appends .npz itself
+        # Temp name must keep the .npz extension: np.savez appends one to
+        # names without it, which would break the rename below.
+        tmp = path[: -len(".npz")] + ".tmp.npz"
         np.savez(tmp, **flat)
         os.replace(tmp, path)
         return path
@@ -131,7 +141,13 @@ def merge_partial_restore(fresh_variables, restored_flat, cfg=DEFAULT_CONFIG):
     crashing later inside the compiled step; network.py:78, :242)."""
     flat = schema.flatten_variables(jax.device_get(fresh_variables))
     for k, v in restored_flat.items():
-        if k in flat and tuple(flat[k].shape) != tuple(np.asarray(v).shape):
+        if k not in flat:
+            # A key the current config doesn't define (e.g. a BN the model
+            # no longer has) must not be injected — unflatten's presence
+            # probes would silently resurrect the layer.
+            print(f"partial restore: skipping {k} (not in the current model)")
+            continue
+        if tuple(flat[k].shape) != tuple(np.asarray(v).shape):
             print(
                 f"partial restore: skipping {k} "
                 f"(checkpoint {tuple(np.asarray(v).shape)} vs model "

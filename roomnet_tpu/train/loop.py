@@ -158,9 +158,8 @@ class Trainer:
             # head; mixing them with re-initialized params crashes inside
             # the step — start the optimizer fresh instead (same stance as
             # restore_head=False).
-            mismatched = any(
-                k not in opt_state.mu
-                or tuple(np.shape(opt_state.mu[k])) != tuple(v.shape)
+            mismatched = set(opt_state.mu) != set(state.train_vars) or any(
+                tuple(np.shape(opt_state.mu[k])) != tuple(v.shape)
                 for k, v in state.train_vars.items()
             )
             if mismatched:
@@ -170,6 +169,25 @@ class Trainer:
         state = state._replace(step=jax.numpy.asarray(step, jax.numpy.int32))
         print(f"Model restored at step {step}")
         return state
+
+    def _pad_for_mesh(self, x, y=None):
+        """Pad a host batch up to a multiple of the 'data' axis by cycling
+        rows. Config-time rounding (_mesh_batch) handles the common case;
+        this is the device_put boundary guard for batches the feeder
+        shrank anyway (unreadable files dropped, dataset smaller than the
+        rounded batch)."""
+        if self.mesh is None:
+            return (x, y) if y is not None else x
+        n = int(self.mesh.shape.get("data", 1))
+        rem = x.shape[0] % n
+        if rem == 0:
+            return (x, y) if y is not None else x
+        pad = n - rem
+        idx = np.arange(pad) % x.shape[0]
+        x = np.concatenate([x, x[idx]], axis=0)
+        if y is None:
+            return x
+        return x, np.concatenate([y, y[idx]], axis=0)
 
     def _mesh_batch(self, batch_size: int) -> int:
         """Round a batch size to a multiple of the mesh's 'data' axis —
@@ -263,8 +281,10 @@ class Trainer:
         y_vals = list(y_val)
         y_preds: list[int] = []
         while True:
-            y_pred = infer(state.train_vars, state.frozen_vars, x_val)
-            y_preds += list(np.asarray(y_pred))
+            n_real = x_val.shape[0]
+            y_pred = infer(state.train_vars, state.frozen_vars,
+                           self._pad_for_mesh(x_val))
+            y_preds += list(np.asarray(y_pred)[:n_real])
             x_val, y_val = val_reader.dequeue()
             y_vals += list(y_val)
             if val_reader.train_state["previous_epoch_done"]:
@@ -342,6 +362,7 @@ class Trainer:
 
         def fetch_next():
             x, y = train_reader.dequeue()
+            x, y = self._pad_for_mesh(x, y)
             return (
                 jax.device_put(x, batch_sharding),
                 jax.device_put(y, batch_sharding),

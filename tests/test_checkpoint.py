@@ -96,7 +96,13 @@ def test_save_is_atomic_no_tmp_left(tmp_path, variables):
     store = CheckpointStore(str(tmp_path))
     p = store.save(variables, 3, suffix="0.5")
     assert os.path.exists(p)
-    assert not any(f.endswith(".tmp") for f in os.listdir(tmp_path))
+    assert not any(".tmp" in f for f in os.listdir(tmp_path))
+    # resume-latest must never pick a leftover temp file
+    (tmp_path / "roomnet--0.9--99.tmp.npz").write_bytes(b"truncated garbage")
+    assert "--3" in store.latest_path()
+    # and a fresh store sweeps crash leftovers
+    CheckpointStore(str(tmp_path))
+    assert not any(".tmp" in f for f in os.listdir(tmp_path))
 
 
 def test_opt_state_rides_along(tmp_path, variables):
