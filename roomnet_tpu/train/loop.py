@@ -170,6 +170,21 @@ class Trainer:
         print(f"Model restored at step {step}")
         return state
 
+    def _to_global(self, x):
+        """Host batch -> device array sharded over 'data'. Single-process:
+        a plain device_put. Multi-process: every rank holds the IDENTICAL
+        full batch (the feeder is bit-deterministic per seed), so each rank
+        contributes its addressable shards via make_array_from_callback —
+        multi-host feeding with zero coordination."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P("data"))
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
     def _pad_for_mesh(self, x, y=None):
         """Pad a host batch up to a multiple of the 'data' axis by cycling
         rows. Config-time rounding (_mesh_batch) handles the common case;
@@ -258,7 +273,12 @@ class Trainer:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 self._infer_fns[use_batch_stats] = jax.jit(
-                    _infer, in_shardings=(None, None, NamedSharding(self.mesh, P("data")))
+                    _infer,
+                    in_shardings=(None, None, NamedSharding(self.mesh, P("data"))),
+                    # Replicated predictions: a data-sharded output spans
+                    # non-addressable devices under multi-process meshes and
+                    # cannot be fetched on any single rank.
+                    out_shardings=NamedSharding(self.mesh, P()),
                 )
             else:
                 self._infer_fns[use_batch_stats] = jax.jit(_infer)
@@ -283,7 +303,7 @@ class Trainer:
         while True:
             n_real = x_val.shape[0]
             y_pred = infer(state.train_vars, state.frozen_vars,
-                           self._pad_for_mesh(x_val))
+                           self._to_global(self._pad_for_mesh(x_val)))
             y_preds += list(np.asarray(y_pred)[:n_real])
             x_val, y_val = val_reader.dequeue()
             y_vals += list(y_val)
@@ -335,7 +355,12 @@ class Trainer:
 
                 _thread.interrupt_main()
             st = self._live_state
-            if tc.stall_checkpoint and st is not None:
+            # Rank 0 + npz only: params are replicated (identical bytes
+            # everywhere), and a collective Orbax save can't be driven from
+            # one rank's watchdog thread without hanging the others.
+            if (tc.stall_checkpoint and st is not None
+                    and tc.ckpt_backend != "orbax"
+                    and jax.process_index() == 0):
                 path = self.store.save(
                     st.variables(self.cfg), int(st.step), suffix="stall",
                     opt_state_flat=flatten_opt_state(st.opt_state),
@@ -354,19 +379,11 @@ class Trainer:
         # while the current step computes (generator.py:159-163's queue,
         # extended across the PCIe/ICI boundary).
         pending = None  # (x_dev, y_dev) already on device
-        batch_sharding = None
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            batch_sharding = NamedSharding(self.mesh, P("data"))
 
         def fetch_next():
             x, y = train_reader.dequeue()
             x, y = self._pad_for_mesh(x, y)
-            return (
-                jax.device_put(x, batch_sharding),
-                jax.device_put(y, batch_sharding),
-            )
+            return self._to_global(x), self._to_global(y)
 
         try:
             for it in range(start_step, start_step + total_steps):
@@ -397,16 +414,25 @@ class Trainer:
                     if watchdog:
                         watchdog.resume()
                     entry = make_stats_entry(int(state.step), y_vals, y_preds)
-                    self.store.save(
-                        state.variables(self.cfg),
-                        int(state.step),
-                        suffix=str(entry["accuracy"]),
-                        opt_state_flat=flatten_opt_state(state.opt_state),
-                    )
-                    all_stats.append(entry)
-                    with open(tc.stats_fpath, "w") as f:
-                        json.dump(all_stats, f, indent=4, sort_keys=True)
-                    print(f"Validated at step {state.step}: acc {entry['accuracy']:.4f}")
+                    # Multi-process: the npz store is a plain file write —
+                    # every rank saving races identical bytes through the
+                    # same tmp path, so only rank 0 writes (params are
+                    # replicated; the bytes are the same everywhere). The
+                    # Orbax backend is a COLLECTIVE save: all ranks call it.
+                    is_rank0 = jax.process_index() == 0
+                    if tc.ckpt_backend == "orbax" or is_rank0:
+                        self.store.save(
+                            state.variables(self.cfg),
+                            int(state.step),
+                            suffix=str(entry["accuracy"]),
+                            opt_state_flat=flatten_opt_state(state.opt_state),
+                        )
+                    if is_rank0:
+                        all_stats.append(entry)
+                        with open(tc.stats_fpath, "w") as f:
+                            json.dump(all_stats, f, indent=4, sort_keys=True)
+                        print(f"Validated at step {state.step}: "
+                              f"acc {entry['accuracy']:.4f}")
                 x, y = pending if pending is not None else fetch_next()
                 pending = None
                 rng, sub = jax.random.split(rng)
