@@ -177,7 +177,9 @@ class Trainer:
         contributes its addressable shards via make_array_from_callback —
         multi-host feeding with zero coordination."""
         if self.mesh is None:
-            return x
+            # No mesh: still device_put so the prefetch loop's host->device
+            # copy overlaps the previous step's compute.
+            return jax.device_put(x)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sharding = NamedSharding(self.mesh, P("data"))
