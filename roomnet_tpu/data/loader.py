@@ -180,6 +180,7 @@ class TrainFeeder:
             "batch": 0,
             "total_iters": 0,
             "previous_epoch_done": False,
+            "synthetic": False,
         }
         self._q: queue.Queue = queue.Queue(maxsize=batches_per_queue)
         self._stop = threading.Event()
@@ -261,13 +262,25 @@ class TrainFeeder:
             xs = [r[0] for r in results if r[0] is not None]
             ys = [r[1] for r in results if r[0] is not None]
             paths = [r[2] for r in results if r[0] is not None]
+        synthetic = False
         if not xs:  # whole batch unreadable — keep the FULL shape contract
             # (a 1-row batch would change the jit signature, forcing a
-            # recompile, and break divisibility under a sharded mesh)
+            # recompile, and break divisibility under a sharded mesh).
+            # The batch is marked synthetic so consumers can SKIP it: a
+            # silent gradient step on zeros labeled class 0 (or fake val
+            # rows counted toward accuracy) would corrupt the run.
+            from roomnet_tpu.utils.logging import get_logger
+
+            get_logger("loader").error(
+                "whole batch unreadable (%d files, e.g. %r) — emitting a "
+                "synthetic zero batch flagged for skipping",
+                len(parsed), parsed[0][0] if parsed else "?",
+            )
+            synthetic = True
             xs = [np.zeros((self.im_side, self.im_side, 3), np.uint8)] * self.batch_size
             ys = [0] * self.batch_size
             paths = [""] * self.batch_size
-        return np.stack(xs), np.asarray(ys, np.int32), np.asarray(paths)
+        return np.stack(xs), np.asarray(ys, np.int32), np.asarray(paths), synthetic
 
     def _producer(self):
         epoch = 0
@@ -277,7 +290,7 @@ class TrainFeeder:
             for b in range(self.batches_per_epoch):
                 if self._stop.is_set():
                     return
-                x, y, paths = self._make_batch(epoch, b, order)
+                x, y, paths, synthetic = self._make_batch(epoch, b, order)
                 total += 1
                 state = {
                     "epoch": epoch + 1,
@@ -287,6 +300,9 @@ class TrainFeeder:
                     # batch of a new epoch (it signals the previous epoch
                     # finished), never on epoch 0.
                     "previous_epoch_done": (b == 0 and epoch > 0),
+                    # True when every file in the batch was unreadable and
+                    # the rows are fabricated zeros — consumers must skip.
+                    "synthetic": synthetic,
                 }
                 while not self._stop.is_set():
                     try:
@@ -303,6 +319,7 @@ class TrainFeeder:
         x, y, paths, state = self._q.get()
         self.batch_fpaths = paths
         self.train_state = state
+        self.last_batch_synthetic = bool(state.get("synthetic", False))
         if state["previous_epoch_done"]:
             # Epoch-boundary INFO log, like reference generator.py:168-171.
             get_logger("loader").info(

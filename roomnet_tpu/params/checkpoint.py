@@ -38,10 +38,17 @@ class CheckpointStore:
         os.makedirs(model_dir, exist_ok=True)
         # Sweep crash leftovers from interrupted atomic saves (resume
         # already ignores them — CKPT_RE wants digits right before .npz —
-        # but they would otherwise accumulate forever).
+        # but they would otherwise accumulate forever). Age-gated: a second
+        # process constructing a store on a LIVE training dir (serve/label/
+        # validate --model-dir while training runs) must not delete the
+        # trainer's in-flight tmp file out from under its os.replace.
+        import time as _time
+
+        cutoff = _time.time() - 3600.0
         for p in glob(os.path.join(model_dir, "*.tmp.npz")):
             try:
-                os.unlink(p)
+                if os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
             except OSError:
                 pass
 

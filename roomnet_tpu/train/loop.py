@@ -87,7 +87,11 @@ class TrainConfig:
     # (async, sharding-aware — use for multi-host/pod training).
     ckpt_backend: str = "npz"
 
-    # README.md:34-38 curriculum as data (approximate step boundaries):
+    # README.md:34-38 curriculum as data (approximate step boundaries).
+    # NOTE a deliberate divergence from the reference README: phase 3 keeps
+    # update_bn_moving=True where README.md:34-38 says BN moving stats were
+    # frozen while training with dropout. The literal reading collapses
+    # (measured, see below) — do NOT "fix" this back for parity's sake.
     @staticmethod
     def reference_curriculum(total_steps: int = 160_000) -> tuple[Phase, ...]:
         # Moving BN stats must keep updating in EVERY batch-stats phase up
@@ -207,15 +211,17 @@ class Trainer:
         return x, np.concatenate([y, y[idx]], axis=0)
 
     def _mesh_batch(self, batch_size: int) -> int:
-        """Round a batch size to a multiple of the mesh's 'data' axis —
+        """Round a batch size UP to a multiple of the mesh's 'data' axis —
         sharding the batch dim requires divisibility (jax.device_put with
-        P('data') raises otherwise). Nearest multiple, never below one row
-        per data shard; no-op without a mesh. The reference constants
-        (45, 64) predate any notion of device meshes."""
+        P('data') raises otherwise). Ceiling, never floor: rounding down
+        would silently shrink the effective global batch below the
+        curriculum phase's configured size (e.g. batch 45 on a 32-wide
+        data axis must become 64, not 32). No-op without a mesh; the
+        reference constants (45, 64) predate any notion of device meshes."""
         if self.mesh is None:
             return batch_size
         n = int(self.mesh.shape.get("data", 1))
-        rounded = max(n, round(batch_size / n) * n)
+        rounded = max(n, -(-batch_size // n) * n)
         if rounded != batch_size:
             print(f"batch {batch_size} -> {rounded} (multiple of data axis {n})")
         return rounded
@@ -302,15 +308,27 @@ class Trainer:
         x_val, y_val = val_reader.dequeue()
         y_vals = list(y_val)
         y_preds: list[int] = []
+        epoch_flags = 0
         while True:
-            n_real = x_val.shape[0]
-            y_pred = infer(state.train_vars, state.frozen_vars,
-                           self._to_global(self._pad_for_mesh(x_val)))
-            y_preds += list(np.asarray(y_pred)[:n_real])
+            if val_reader.last_batch_synthetic:
+                # Fabricated rows (whole batch unreadable) must not count
+                # toward accuracy: drop their labels and skip the infer.
+                del y_vals[len(y_vals) - len(y_val):]
+            else:
+                n_real = x_val.shape[0]
+                y_pred = infer(state.train_vars, state.frozen_vars,
+                               self._to_global(self._pad_for_mesh(x_val)))
+                y_preds += list(np.asarray(y_pred)[:n_real])
             x_val, y_val = val_reader.dequeue()
             y_vals += list(y_val)
             if val_reader.train_state["previous_epoch_done"]:
-                break
+                epoch_flags += 1
+                # Require >=1 real inferred batch before exiting (the
+                # reference exits with zero predictions when the boundary
+                # lands at the queue head); two whole epochs of synthetic
+                # batches means the dataset is gone — give up empty.
+                if y_preds or epoch_flags >= 2:
+                    break
         y_vals = y_vals[: len(y_preds)]
         return y_vals, y_preds
 
@@ -383,9 +401,20 @@ class Trainer:
         pending = None  # (x_dev, y_dev) already on device
 
         def fetch_next():
-            x, y = train_reader.dequeue()
-            x, y = self._pad_for_mesh(x, y)
-            return self._to_global(x), self._to_global(y)
+            # Skip synthetic batches (whole batch unreadable — fabricated
+            # zeros labeled class 0): a silent full-batch gradient step on
+            # fake data would corrupt the run. Bounded by one epoch of
+            # consecutive misses, after which the dataset is plainly gone.
+            for _ in range(max(train_reader.batches_per_epoch, 1) + 1):
+                x, y = train_reader.dequeue()
+                if not train_reader.last_batch_synthetic:
+                    x, y = self._pad_for_mesh(x, y)
+                    return self._to_global(x), self._to_global(y)
+                print("skipping synthetic batch (all files unreadable)")
+            raise RuntimeError(
+                "every batch in a full epoch was unreadable — dataset files "
+                "missing or corrupt; refusing to train on fabricated zeros"
+            )
 
         try:
             for it in range(start_step, start_step + total_steps):

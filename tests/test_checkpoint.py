@@ -1,6 +1,7 @@
 """Checkpoint store semantics: keep-all, acc-named, resume-latest, partial restore."""
 
 import os
+import time
 
 import jax
 import numpy as np
@@ -98,9 +99,16 @@ def test_save_is_atomic_no_tmp_left(tmp_path, variables):
     assert os.path.exists(p)
     assert not any(".tmp" in f for f in os.listdir(tmp_path))
     # resume-latest must never pick a leftover temp file
-    (tmp_path / "roomnet--0.9--99.tmp.npz").write_bytes(b"truncated garbage")
+    tmp_file = tmp_path / "roomnet--0.9--99.tmp.npz"
+    tmp_file.write_bytes(b"truncated garbage")
     assert "--3" in store.latest_path()
-    # and a fresh store sweeps crash leftovers
+    # a FRESH tmp file survives the sweep: it may be another process's
+    # in-flight atomic save (ADVICE r2: concurrent store on a live dir)
+    CheckpointStore(str(tmp_path))
+    assert any(".tmp" in f for f in os.listdir(tmp_path))
+    # ...but a stale crash leftover (old mtime) is swept
+    old = time.time() - 7200
+    os.utime(tmp_file, (old, old))
     CheckpointStore(str(tmp_path))
     assert not any(".tmp" in f for f in os.listdir(tmp_path))
 

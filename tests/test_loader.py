@@ -123,6 +123,31 @@ def test_feeder_skips_unreadable(tmp_path):
         assert x.shape[0] == 3  # bad image dropped, batch shrinks
 
 
+def test_feeder_flags_fully_unreadable_batch(tmp_path):
+    """Whole batch unreadable: the feeder keeps the shape contract with a
+    fabricated zero batch but FLAGS it synthetic so consumers skip it —
+    neither a gradient step nor val accuracy may see fake rows (ADVICE r2)."""
+    d = tmp_path / "d"
+    d.mkdir()
+    bads = []
+    for i in range(4):
+        p = d / f"bad{i}.jpg"
+        p.write_text("not an image")
+        bads.append(str(p))
+    lines = [f"{p} 0\n" for p in bads]
+    with TrainFeeder(lines, batch_size=4, im_side=8, shuffle=False,
+                     random_crop=False, preprocess=False) as f:
+        x, y = f.dequeue()
+        assert x.shape == (4, 8, 8, 3) and not x.any()
+        assert f.last_batch_synthetic and f.train_state["synthetic"]
+    # mixed batch with >=1 readable row is NOT synthetic
+    good = _write_imgs(tmp_path / "g", "c0", 1)
+    with TrainFeeder([f"{good[0]} 0\n"] + lines[:3], batch_size=4, im_side=8,
+                     shuffle=False, random_crop=False, preprocess=False) as f:
+        x, y = f.dequeue()
+        assert x.shape[0] == 1 and not f.last_batch_synthetic
+
+
 def test_feeder_rejects_empty_list():
     with pytest.raises(ValueError, match="no usable paths"):
         TrainFeeder(["", "\n"], batch_size=4, im_side=8, start=False)

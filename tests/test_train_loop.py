@@ -69,6 +69,27 @@ def test_trainer_end_to_end_and_resume(data_dir):
     assert int(state2.step) > 11
 
 
+def test_trainer_refuses_fully_unreadable_dataset(data_dir, tmp_path):
+    """After the warm list files exist, corrupt every image: the Trainer
+    must skip the synthetic zero batches and raise rather than silently
+    train on fabricated class-0 rows (ADVICE r2)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),)),
+        save_freq=1000,
+    )
+    from roomnet_tpu.data.dataset import extract_fpaths
+
+    extract_fpaths(tc.data_dir, tc.train_list_fpath, tc.val_list_fpath)
+    for cls in ("Kitchen", "Bedroom"):
+        for p in (data_dir / "data" / cls).iterdir():
+            p.write_text("corrupted")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        Trainer(tc, cfg).train(total_steps=3, log_every=100)
+
+
 def test_phase_schedule_selection():
     phases = TrainConfig.reference_curriculum(total_steps=400)
     assert phase_at(phases, 0).batch_size == 8
@@ -173,6 +194,9 @@ def test_trainer_dp_rounds_indivisible_batch(data_dir):
     )
     tr = Trainer(tc, cfg, mesh=make_mesh(8, 1))
     assert tr._mesh_batch(6) == 8 and tr._mesh_batch(45) == 48
+    # ceil, never floor: the global batch must not silently shrink below
+    # the curriculum phase's configured size (ADVICE r2)
+    assert tr._mesh_batch(10) == 16 and tr._mesh_batch(8) == 8
     state = tr.train(total_steps=3, log_every=100)
     assert int(state.step) == 3
 
