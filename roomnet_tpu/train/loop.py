@@ -375,17 +375,37 @@ class Trainer:
 
                 _thread.interrupt_main()
             st = self._live_state
-            # Rank 0 + npz only: params are replicated (identical bytes
-            # everywhere), and a collective Orbax save can't be driven from
-            # one rank's watchdog thread without hanging the others.
-            if (tc.stall_checkpoint and st is not None
-                    and tc.ckpt_backend != "orbax"
-                    and jax.process_index() == 0):
-                path = self.store.save(
-                    st.variables(self.cfg), int(st.step), suffix="stall",
-                    opt_state_flat=flatten_opt_state(st.opt_state),
-                )
-                print(f"Stall: emergency checkpoint written to {path}")
+            if tc.stall_checkpoint and st is not None:
+                # Rank 0 + npz: normal emergency save into the model dir.
+                # Otherwise (orbax backend, or rank>0): a collective Orbax
+                # save can't be driven from one rank's watchdog thread
+                # without hanging the others — FALL BACK to a local npz dump
+                # of the replicated state under model_dir/emergency/ rather
+                # than silently doing nothing (round-2 review weak #6).
+                if tc.ckpt_backend != "orbax" and jax.process_index() == 0:
+                    path = self.store.save(
+                        st.variables(self.cfg), int(st.step), suffix="stall",
+                        opt_state_flat=flatten_opt_state(st.opt_state),
+                    )
+                    print(f"Stall: emergency checkpoint written to {path}")
+                else:
+                    rank = jax.process_index()
+                    dump = CheckpointStore(
+                        os.path.join(tc.model_dir, "emergency")
+                    )
+                    path = dump.save(
+                        st.variables(self.cfg), int(st.step),
+                        suffix=f"stall-rank{rank}",
+                        opt_state_flat=flatten_opt_state(st.opt_state),
+                    )
+                    print(
+                        f"Stall: collective checkpointing unavailable from the "
+                        f"watchdog thread (backend={tc.ckpt_backend}, "
+                        f"rank={rank}) — local npz emergency dump written to "
+                        f"{path}; restore it manually via CheckpointStore.load"
+                    )
+            elif tc.stall_checkpoint:
+                print("Stall: no completed step state yet — nothing to dump")
 
         watchdog = (
             StepWatchdog(tc.stall_timeout_s, on_stall=_on_stall)

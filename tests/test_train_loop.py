@@ -315,6 +315,47 @@ def test_stall_writes_emergency_checkpoint(data_dir):
     assert restored is not None and restored[1] >= 1
 
 
+def test_stall_orbax_backend_falls_back_to_local_npz_dump(data_dir):
+    """stall_checkpoint=True must never silently no-op: on the Orbax backend
+    (collective save — undrivable from one rank's watchdog thread) a stall
+    writes a local npz dump under model_dir/emergency/ instead (r2 weak #6)."""
+    import dataclasses
+    import time
+
+    pytest.importorskip("orbax.checkpoint")
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),)),
+        model_dir=str(data_dir / "models_stall_orbax"),
+        stats_fpath=str(data_dir / "stats_stall_orbax.json"),
+        save_freq=1000,
+        stall_timeout_s=0.25,
+        ckpt_backend="orbax",
+    )
+    tr = Trainer(tc, cfg)
+    orig = tr._step_fn
+
+    def slow_step_fn(ph):
+        fn = orig(ph)
+
+        def wrapped(*a):
+            time.sleep(1.0)
+            return fn(*a)
+
+        return wrapped
+
+    tr._step_fn = slow_step_fn
+    tr.train(total_steps=3, log_every=1)
+    emdir = os.path.join(tc.model_dir, "emergency")
+    dumps = [c for c in os.listdir(emdir) if "--stall-rank0--" in c]
+    assert dumps, os.listdir(emdir)
+    # the dump is a loadable, resumable npz
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    restored = CheckpointStore(emdir).load(cfg=cfg, with_opt_state=True)
+    assert restored is not None and restored[1] >= 1
+
+
 def test_stall_abort_interrupts_training(data_dir):
     """stall_abort=True: the watchdog interrupts the main thread; the loop's
     finally block still cleans up (feeders closed, no hang)."""
