@@ -139,9 +139,12 @@ def cmd_serve(args):
     clf = RoomNetClassifier(
         _load_variables(args.params, args.model_dir), cfg, batch_size=args.batch_size
     )
-    print(f"serving on http://{args.host}:{args.port}  (POST /classify)")
+    print(f"serving on http://{args.host}:{args.port}  "
+          f"(POST /classify, /classify_batch)")
     ClassifierServer(clf, host=args.host, port=args.port,
-                     warmup=not args.no_warmup).serve_forever()
+                     warmup=not args.no_warmup,
+                     max_inflight=args.max_inflight,
+                     request_timeout_s=args.request_timeout).serve_forever()
 
 
 def cmd_bench(args):
@@ -252,6 +255,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--exact", action="store_true")
     s.add_argument("--no-warmup", action="store_true",
                    help="skip the compile-before-bind warmup")
+    s.add_argument("--max-inflight", type=int, default=None,
+                   help="admission cap before 429 shedding "
+                        "(default 4x max_batch)")
+    s.add_argument("--request-timeout", type=float, default=30.0,
+                   help="per-request device-wait timeout (s)")
     s.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="run the benchmark")

@@ -14,36 +14,55 @@ Endpoints:
   POST /classify           -> body = raw image bytes (jpeg/png);
                               response JSON {label, class_id, confidence,
                               probs}
+  POST /classify_batch     -> body = JSON {"images": [<base64>, ...]};
+                              response JSON {"results": [per-image result
+                              or {"error": ...}]} — N images ride ONE
+                              device call when N <= max_batch
 
 Stdlib http.server only — no web framework dependency. Concurrency model:
 a ThreadingHTTPServer front end feeds a single device worker through a
-bounded queue; the worker coalesces up to `max_batch` pending requests per
+bounded queue; the worker coalesces up to `max_batch` pending images per
 device call (static-shape padding, same as predict_paths).
+
+Backpressure (round-2 review item #5): admission control caps in-flight
+requests at `max_inflight`; beyond it the server sheds load FAST with
+429 + Retry-After instead of letting work pile into 30 s timeouts, and
+request decode (cv2) runs on a bounded pool instead of per-request handler
+threads, so a burst can't fork unbounded CPU work on a small host.
 """
 
 from __future__ import annotations
 
+import base64
 import json
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 
 class _Job:
-    __slots__ = ("image", "event", "result", "error")
+    """One unit of device work: a list of decoded images (None = undecodable
+    row). Single requests carry 1 image; /classify_batch carries N. The
+    worker fills `results` (per-image dict or None) and sets `event`."""
 
-    def __init__(self, image):
-        self.image = image
+    __slots__ = ("images", "event", "results", "error")
+
+    def __init__(self, images):
+        self.images = images
         self.event = threading.Event()
-        self.result = None
+        self.results = [None] * len(images)
         self.error = None  # "device_error" when the batch's device call failed
 
 
 class ClassifierServer:
     def __init__(self, classifier, host: str = "127.0.0.1", port: int = 8000,
-                 max_batch: int | None = None, warmup: bool = False):
+                 max_batch: int | None = None, warmup: bool = False,
+                 max_inflight: int | None = None,
+                 decode_workers: int | None = None,
+                 request_timeout_s: float = 30.0):
         self.classifier = classifier
         self.host = host
         self.port = port
@@ -54,7 +73,21 @@ class ClassifierServer:
         self.max_batch = min(max_batch or classifier.batch_size,
                              classifier.batch_size)
         self.warmup = warmup
-        self._jobs: queue.Queue[_Job] = queue.Queue()
+        self.request_timeout_s = request_timeout_s
+        # Admission cap: how many requests may be in flight (decoding,
+        # queued, or on device) before new ones are shed with 429. Sized so
+        # the backlog clears within a few device calls.
+        self.max_inflight = max_inflight or 4 * self.max_batch
+        self._admit = threading.Semaphore(self.max_inflight)
+        # Bounded decode pool: cv2 decode is the CPU-heavy part of a
+        # request; per-request handler threads would run all of them
+        # concurrently under a burst.
+        import os
+
+        self._decode_pool = ThreadPoolExecutor(
+            max_workers=decode_workers or min(4, (os.cpu_count() or 1) * 2)
+        )
+        self._jobs: queue.Queue[_Job] = queue.Queue(maxsize=self.max_inflight)
         self._stop = threading.Event()
         self._httpd: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
@@ -78,42 +111,54 @@ class ClassifierServer:
                 first = self._jobs.get(timeout=0.2)
             except queue.Empty:
                 continue
+            # Coalesce whole jobs until the device batch is full. A job is
+            # never split across coalescing rounds, but a large /classify_
+            # batch job is chunked over several device calls below.
             batch_jobs = [first]
-            while len(batch_jobs) < self.max_batch:
+            total = len(first.images)
+            while total < self.max_batch:
                 try:
-                    batch_jobs.append(self._jobs.get_nowait())
+                    j = self._jobs.get_nowait()
                 except queue.Empty:
                     break
-            # Everything from assembly through the device call is inside one
+                batch_jobs.append(j)
+                total += len(j.images)
+            # Flat view: (job, row-within-job) per decoded image.
+            rows = [
+                (job, k)
+                for job in batch_jobs
+                for k in range(len(job.images))
+                if job.images[k] is not None
+            ]
+            # Everything from assembly through the device calls is inside one
             # recover-and-continue handler: any failure fails THESE requests
             # but never kills the worker thread.
             try:
-                batch = np.zeros((clf.batch_size, side, side, 3), np.uint8)
-                ok = []
-                for i, job in enumerate(batch_jobs):
-                    if job.image is not None:
-                        batch[i] = job.image
-                        ok.append(True)
-                    else:
-                        ok.append(False)
-                with trace("serve/device_call"):
-                    ids, probs = clf._predict(clf.variables, batch)
-                    ids = np.asarray(ids)
-                    probs = np.asarray(probs)
+                for at in range(0, max(len(rows), 0), clf.batch_size):
+                    chunk = rows[at: at + clf.batch_size]
+                    if not chunk:
+                        break
+                    batch = np.zeros((clf.batch_size, side, side, 3), np.uint8)
+                    for i, (job, k) in enumerate(chunk):
+                        batch[i] = job.images[k]
+                    with trace("serve/device_call"):
+                        ids, probs = clf._predict(clf.variables, batch)
+                        ids = np.asarray(ids)
+                        probs = np.asarray(probs)
+                    for i, (job, k) in enumerate(chunk):
+                        cid = int(ids[i])
+                        job.results[k] = {
+                            "label": clf.class_labels[cid],
+                            "class_id": cid,
+                            "confidence": float(probs[i, cid]),
+                            "probs": [float(p) for p in probs[i]],
+                        }
             except Exception:  # device error: fail THESE requests, keep serving
                 for job in batch_jobs:
                     job.error = "device_error"
                     job.event.set()
                 continue
-            for i, job in enumerate(batch_jobs):
-                if ok[i]:
-                    cid = int(ids[i])
-                    job.result = {
-                        "label": clf.class_labels[cid],
-                        "class_id": cid,
-                        "confidence": float(probs[i, cid]),
-                        "probs": [float(p) for p in probs[i]],
-                    }
+            for job in batch_jobs:
                 job.event.set()
 
     def _preprocess(self, body: bytes):
@@ -130,21 +175,50 @@ class ClassifierServer:
             im = cv2.resize(im, (side, side))
         return np.ascontiguousarray(im)
 
+    # -- request plumbing (admission -> decode -> device -> result) ---------
+    def _run_job(self, bodies: list[bytes]):
+        """Decode on the bounded pool, enqueue one job, wait for results.
+
+        Returns (job, images) or the string "overloaded" when admission or
+        the queue sheds the request."""
+        if not self._admit.acquire(blocking=False):
+            return "overloaded"
+        try:
+            images = list(self._decode_pool.map(self._preprocess, bodies))
+            job = _Job(images)
+            if any(im is not None for im in images):
+                try:
+                    self._jobs.put_nowait(job)
+                except queue.Full:
+                    return "overloaded"
+                job.event.wait(timeout=self.request_timeout_s)
+            else:
+                job.event.set()  # nothing decodable: no device work
+            return job, images
+        finally:
+            self._admit.release()
+
     # -- http ---------------------------------------------------------------
     def _make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
 
-            def _send(self, code: int, payload):
+            def _send(self, code: int, payload, headers=()):
                 body = (
                     payload if isinstance(payload, bytes) else json.dumps(payload).encode()
                 )
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in headers:
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _send_overloaded(self):
+                self._send(429, {"error": "server overloaded, retry later"},
+                           headers=(("Retry-After", "1"),))
 
             def do_GET(self):
                 if self.path == "/healthz":
@@ -159,30 +233,73 @@ class ClassifierServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/classify":
+                if self.path == "/classify":
+                    self._classify_single()
+                elif self.path == "/classify_batch":
+                    self._classify_batch()
+                else:
                     self._send(404, {"error": "not found"})
-                    return
+
+            def _classify_single(self):
                 from roomnet_tpu.utils.profiling import trace
 
                 with trace("serve/request"):
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
-                    image = server_self._preprocess(body)
-                    job = _Job(image)
-                    server_self._jobs.put(job)
-                    done = job.event.wait(timeout=30)
-                if job.result is not None:
-                    self._send(200, job.result)
-                elif image is None:
+                    out = server_self._run_job([body])
+                if out == "overloaded":
+                    self._send_overloaded()
+                    return
+                job, images = out
+                if job.results[0] is not None:
+                    self._send(200, job.results[0])
+                elif images[0] is None:
                     self._send(400, {"error": "undecodable image"})
                 elif job.error == "device_error":
                     # Server-side failure on a valid request: 5xx so HTTP
                     # clients retry instead of treating it as caller error.
                     self._send(503, {"error": "inference backend failure"})
-                elif not done:
+                elif not job.event.is_set():
                     self._send(504, {"error": "inference timeout"})
                 else:
                     self._send(503, {"error": "inference unavailable"})
+
+            def _classify_batch(self):
+                from roomnet_tpu.utils.profiling import trace
+
+                with trace("serve/request_batch"):
+                    length = int(self.headers.get("Content-Length", 0))
+                    try:
+                        payload = json.loads(self.rfile.read(length))
+                        bodies = [base64.b64decode(s) for s in payload["images"]]
+                    except Exception:
+                        self._send(400, {"error": "body must be JSON "
+                                                  '{"images": [base64, ...]}'})
+                        return
+                    if not bodies:
+                        self._send(200, {"results": []})
+                        return
+                    if len(bodies) > server_self.max_inflight:
+                        self._send(413, {
+                            "error": f"too many images "
+                                     f"(max {server_self.max_inflight})"})
+                        return
+                    out = server_self._run_job(bodies)
+                if out == "overloaded":
+                    self._send_overloaded()
+                    return
+                job, images = out
+                if job.error == "device_error":
+                    self._send(503, {"error": "inference backend failure"})
+                    return
+                if not job.event.is_set():
+                    self._send(504, {"error": "inference timeout"})
+                    return
+                results = [
+                    r if r is not None else {"error": "undecodable image"}
+                    for r in job.results
+                ]
+                self._send(200, {"results": results})
 
         return Handler
 
@@ -213,6 +330,7 @@ class ClassifierServer:
         if self._httpd:
             self._httpd.shutdown()
             self._httpd.server_close()
+        self._decode_pool.shutdown(wait=False, cancel_futures=True)
 
     def serve_forever(self):
         self.start()

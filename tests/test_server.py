@@ -24,7 +24,10 @@ def server():
         init_variables(jax.random.PRNGKey(0), TINY), TINY,
         batch_size=4, class_labels=LABELS4,
     )
-    srv = ClassifierServer(clf, port=0).start()
+    # max_inflight=64: the burst test below pins the socket-backlog
+    # regression, which needs all 64 admitted (backpressure shedding has
+    # its own dedicated tests with a small cap).
+    srv = ClassifierServer(clf, port=0, max_inflight=64).start()
     yield srv
     srv.stop()
 
@@ -176,6 +179,109 @@ def test_device_failure_returns_503_and_recovers():
         assert status2 == 200 and out2["label"] in LABELS4  # recovered
     finally:
         srv.stop()
+
+
+def test_classify_batch_one_device_call(server):
+    """POST /classify_batch: N images ride one request and (N <= max_batch)
+    ONE device call; undecodable rows get per-row errors, not request
+    failure."""
+    import base64
+    import urllib.request
+
+    with urllib.request.urlopen(_url(server, "/metrics"), timeout=10) as r:
+        before = json.loads(r.read()).get("serve/device_call", {}).get("count", 0)
+    payload = json.dumps({
+        "images": [
+            base64.b64encode(_img_bytes(seed=1)).decode(),
+            base64.b64encode(b"junk not an image").decode(),
+            base64.b64encode(_img_bytes(seed=2)).decode(),
+        ]
+    }).encode()
+    status, out = _post(server, "/classify_batch", payload)
+    assert status == 200
+    rs = out["results"]
+    assert len(rs) == 3
+    assert rs[0]["label"] in LABELS4 and rs[2]["label"] in LABELS4
+    assert rs[1] == {"error": "undecodable image"}
+    with urllib.request.urlopen(_url(server, "/metrics"), timeout=10) as r:
+        after = json.loads(r.read())["serve/device_call"]["count"]
+    assert after == before + 1  # 3 images <= max_batch 4: exactly one call
+
+
+def test_classify_batch_bad_payload(server):
+    status, out = _post(server, "/classify_batch", b"{not json")
+    assert status == 400 and "error" in out
+    status, out = _post(
+        server, "/classify_batch", json.dumps({"images": []}).encode()
+    )
+    assert status == 200 and out["results"] == []
+    too_many = json.dumps(
+        {"images": [base64_of_img()] * (server.max_inflight + 1)}
+    ).encode()
+    status, out = _post(server, "/classify_batch", too_many)
+    assert status == 413
+
+
+def base64_of_img():
+    import base64
+
+    return base64.b64encode(_img_bytes()).decode()
+
+
+def test_sustained_overload_sheds_fast_with_429():
+    """2x capacity sustained: the server must shed with FAST 429s
+    (Retry-After) and keep accepted-request latency bounded — no 30 s
+    timeout pile-up (round-2 review item #5)."""
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(5), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    real = clf._predict
+    real(clf.variables, np.zeros((2, TINY.im_side, TINY.im_side, 3), np.uint8))
+
+    def slow(variables, batch):  # ~20 img/s device capacity
+        time.sleep(0.1)
+        return real(variables, batch)
+
+    clf._predict = slow
+    srv = ClassifierServer(clf, port=0, max_inflight=4,
+                           request_timeout_s=10.0).start()
+    statuses, latencies, errors = [], [], []
+    lock = threading.Lock()
+    stop_at = time.monotonic() + 8.0
+    body = _img_bytes()
+
+    def client():
+        while time.monotonic() < stop_at:
+            t0 = time.monotonic()
+            try:
+                status, _ = _post(srv, "/classify", body)
+            except Exception as e:
+                with lock:
+                    errors.append(repr(e))
+                continue
+            with lock:
+                statuses.append(status)
+                latencies.append(time.monotonic() - t0)
+
+    try:
+        # 4 closed-loop clients against ~20 img/s with max_inflight 4 ->
+        # sustained 2x+ offered load once 429s return instantly.
+        threads = [threading.Thread(target=client) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        srv.stop()
+    assert not errors, errors[:3]
+    counts = {s: statuses.count(s) for s in set(statuses)}
+    assert set(counts) <= {200, 429}, counts  # designed shedding, no 5xx/504
+    assert counts.get(200, 0) > 0 and counts.get(429, 0) > 0, counts
+    # bounded latency: nothing waited anywhere near the timeout
+    assert max(latencies) < 5.0, max(latencies)
 
 
 def test_warmup_compiles_before_serving():
