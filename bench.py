@@ -147,7 +147,20 @@ def main():
             paths.append(p)
         clf = RoomNetClassifier(variables, cfg, batch_size=BATCH)
         clf.predict_paths(paths[:4])  # warm compile
-        # Median of 3: the relay's host->device bandwidth wanders +-15%
+        # The e2e number is bounded by the host->device link: a 256-image
+        # uint8 batch is 38.5 MB, and on this tunneled relay the transfer
+        # bandwidth wanders 2-3x across minutes (measured 18-55 MB/s).
+        # Record the link speed NEXT TO the e2e number so every BENCH json
+        # self-documents its relay conditions.
+        put_s = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_put(x).block_until_ready()
+            put_s.append(time.perf_counter() - t0)
+        relay_mbps = x.nbytes / 1e6 / float(np.median(put_s))
+        log(f"relay host->device bandwidth: {relay_mbps:.0f} MB/s "
+            f"(ceiling {relay_mbps * 1e6 / (224 * 224 * 3):.0f} img/s)")
+        # Median of 3: the relay's host->device bandwidth wanders
         # run to run; a single sample is too noisy to be the headline.
         runs = []
         for _ in range(3):
@@ -241,6 +254,9 @@ def main():
                 round(e2e_ips, 1) if e2e_ips else None
             ),
             "e2e_harness": "1839 x 640x480 q88 JPEGs, photo-like content",
+            "relay_host_to_device_MBps": (
+                round(relay_mbps, 1) if e2e_ips else None
+            ),
             "train_images_per_sec_batch45": round(train_ips, 1),
             "reference_train_images_per_sec_gtx1070": round(REF_TRAIN_IPS, 1),
             "p50_single_image_latency_ms": round(p50_ms, 3),

@@ -69,11 +69,13 @@ class RoomNetClassifier:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            self._x_sharding = NamedSharding(mesh, P("data"))
             self._predict = jax.jit(
                 _predict,
-                in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))),
+                in_shardings=(NamedSharding(mesh, P()), self._x_sharding),
             )
         else:
+            self._x_sharding = None
             self._predict = jax.jit(_predict)
 
     # -- host preprocess ----------------------------------------------------
@@ -118,6 +120,14 @@ class RoomNetClassifier:
 
         Unreadable files get id -1 / conf 0. The final ragged batch is padded
         to batch_size (static shapes for XLA) and trimmed after.
+
+        Pipelining (3 stages deep, round-2 review item #2): the orchestrator
+        thread decodes batch i+2 AND starts its host->device transfer
+        (jax.device_put is async); the main thread dispatches the device
+        call for batch i+1 BEFORE fetching batch i's results, so the
+        result round-trip (~1 s over a remote relay) overlaps the next
+        batch's compute instead of serializing after it. ids+probs come
+        back in ONE device_get per batch.
         """
         n = len(fpaths)
         ids = np.full(n, -1, np.int64)
@@ -125,9 +135,6 @@ class RoomNetClassifier:
         bs = self.batch_size
         with ThreadPoolExecutor(max_workers=self.decode_workers) as pool, \
                 ThreadPoolExecutor(max_workers=1) as orchestrator:
-            # True pipelining: while the device processes batch i (and we
-            # block fetching its results), a single orchestrator thread
-            # drives the decode of batch i+1 on the worker pool.
             from roomnet_tpu.data import native
 
             use_native_batch = native.available()
@@ -166,27 +173,44 @@ class RoomNetClassifier:
                             pool.map(self._load_cv2, [paths[k] for k in failed]),
                         ):
                             ims[k] = im
-                    return idxs, ims
-                ims = list(pool.map(self._load, paths))
-                return idxs, ims
-
-            fut = orchestrator.submit(decode_batch, 0) if n else None
-            start = bs
-            while fut is not None:
-                idxs, ims = fut.result()
-                fut = orchestrator.submit(decode_batch, start) if start < n else None
-                start += bs
+                else:
+                    ims = list(pool.map(self._load, paths))
                 ok = [i for i, im in zip(idxs, ims) if im is not None]
                 kept = [im for im in ims if im is not None]
                 if not kept:
-                    continue
-                batch = np.zeros((bs, self.cfg.im_side, self.cfg.im_side, 3), np.uint8)
-                batch[: len(kept)] = np.stack(kept)
-                pred, probs = self._predict(self.variables, batch)
-                pred = np.asarray(pred)[: len(kept)]
-                probs = np.asarray(probs)[: len(kept)]
-                ids[ok] = pred
-                confs[ok] = probs
+                    return ok, 0, None
+                full = np.zeros((bs, self.cfg.im_side, self.cfg.im_side, 3),
+                                np.uint8)
+                full[: len(kept)] = np.stack(kept)
+                # Start the host->device DMA here, off the main thread:
+                # device_put returns immediately and the copy overlaps both
+                # the in-flight device call and the pending result fetch.
+                return ok, len(kept), jax.device_put(full, self._x_sharding)
+
+            def drain(entry):
+                ok, n_kept, pred_dev, probs_dev = entry
+                # One synchronous transfer for both outputs.
+                pred, probs = jax.device_get((pred_dev, probs_dev))
+                ids[ok] = pred[:n_kept]
+                confs[ok] = probs[:n_kept]
+
+            fut = orchestrator.submit(decode_batch, 0) if n else None
+            start = bs
+            pending = None  # batch whose device call is in flight
+            while fut is not None:
+                ok, n_kept, x_dev = fut.result()
+                fut = orchestrator.submit(decode_batch, start) if start < n else None
+                start += bs
+                # Dispatch BEFORE fetching the previous batch's results.
+                cur = None
+                if x_dev is not None:
+                    pred_dev, probs_dev = self._predict(self.variables, x_dev)
+                    cur = (ok, n_kept, pred_dev, probs_dev)
+                if pending is not None:
+                    drain(pending)
+                pending = cur
+            if pending is not None:
+                drain(pending)
         return ids, confs, ids >= 0
 
 
