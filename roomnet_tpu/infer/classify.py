@@ -49,17 +49,25 @@ class RoomNetClassifier:
         mesh=None,
         decode_workers: int | None = None,
         fast_decode: bool = False,
+        fast_decode_safety: int = 2,
     ):
         """fast_decode: DCT-scaled JPEG decode in the native data-plane
         (up to 8x less decode work for large sources; slight pixel deltas —
-        serving mode, not parity mode). Needs the csrc/ library."""
+        serving mode, not parity mode). Needs the csrc/ library.
+
+        fast_decode_safety: the scaled decode must land at >=
+        safety * im_side on its short side before the bilinear resize.
+        safety=1 (round-2 behavior) allows decoding to barely >= im_side,
+        which maximizes resample deviation (measured 11% argmax flips on
+        640x480 content); safety=2 keeps >=2x supersampling headroom
+        (measured 0 flips on the same harness, see PERF.md round 3)."""
         self.variables = variables
         self.cfg = cfg
         self.batch_size = batch_size
         self.class_labels = class_labels or CLASS_LABELS
         self.mesh = mesh
         self.decode_workers = decode_workers or min(32, (os.cpu_count() or 8) * 2)
-        self.min_decode_side = cfg.im_side if fast_decode else 0
+        self.min_decode_side = fast_decode_safety * cfg.im_side if fast_decode else 0
 
         def _predict(variables, x_uint8_bgr):
             logits = forward(variables, normalize_bgr_uint8(x_uint8_bgr), cfg)
