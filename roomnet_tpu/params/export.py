@@ -63,13 +63,48 @@ def _tf_forward(variables, x, cfg):
     return tf.nn.softmax(x, axis=-1)
 
 
-def export_tflite(variables, out_path: str, cfg=None, *, allow_flex: bool = False) -> str:
-    """Export forward+softmax to a float32 .tflite flatbuffer — pure
+def _representative_dataset(cfg, n: int = 96):
+    """Calibration batches for full-int8 quantization: the same procedural
+    photo-like content family the synthetic training/benchmark harnesses
+    use (tools/make_synth_dataset.make_image), normalized like the model
+    input (RGB [-1,1])."""
+    import sys
+
+    import numpy as np
+
+    tools = os.path.join(os.path.dirname(__file__), "..", "..", "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from make_synth_dataset import make_image
+
+    rng = np.random.RandomState(20260819)
+
+    def gen():
+        for i in range(n):
+            im = make_image(i % 6, rng, cfg.im_side, cfg.im_side)  # RGB uint8
+            x = (im.astype(np.float32) / 255.0) * 2.0 - 1.0
+            yield [x[None]]
+
+    return gen
+
+
+def export_tflite(variables, out_path: str, cfg=None, *, allow_flex: bool = False,
+                  quantize: str | None = None) -> str:
+    """Export forward+softmax to a .tflite flatbuffer — pure
     TFLITE_BUILTINS (loads in the stock interpreter, no Flex delegate;
     reference Classifier.java:189 uses the stock interpreter).
 
     Input signature: (1, im_side, im_side, 3) float32 RGB in [-1,1]
     (the normalized tensor the reference graph consumes, network.py:28).
+
+    quantize (round-3 review item #4 — the stock demo's second classifier
+    is a quantized model, ClassifierQuantizedMobileNet.java:46-77):
+      * None       — float32 (the committed mobile/roomnet.tflite);
+      * "dynamic"  — dynamic-range: int8 weights, float activations;
+      * "int8"     — full integer quantization with a representative
+        dataset; float32 I/O tensors (quantize/dequantize at the edges)
+        so the float demo patch works unchanged.
+    Measured argmax flip rates per variant: tools/check_tflite.py.
     """
     import jax
     import tensorflow as tf
@@ -90,6 +125,14 @@ def export_tflite(variables, out_path: str, cfg=None, *, allow_flex: bool = Fals
         [tf_fn.get_concrete_function()]
     )
     converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS]
+    if quantize == "dynamic":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    elif quantize == "int8":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.representative_dataset = _representative_dataset(cfg)
+        converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+    elif quantize is not None:
+        raise ValueError(f"quantize must be None|'dynamic'|'int8', got {quantize!r}")
     if allow_flex:  # escape hatch for future non-builtin graphs
         converter.target_spec.supported_ops.append(tf.lite.OpsSet.SELECT_TF_OPS)
     blob = converter.convert()

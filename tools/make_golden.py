@@ -134,6 +134,73 @@ def make_forward_golden_wide():
           "class histogram", np.bincount(probs.argmax(-1), minlength=6))
 
 
+def make_valset_golden():
+    """Val-scale parity oracle (round-3 review item #1): 1839 deterministic
+    JPEGs (tools/valset.py) -> the classifier's OWN preprocess (both the
+    cv2 and native-C++ decode backends) -> frozen TF graph argmax per
+    image + a 64-row logits subsample. The fixture is compact (~25 KB);
+    the JPEGs regenerate deterministically at test time."""
+    import tempfile
+
+    import tensorflow.compat.v1 as tf
+
+    tf.disable_eager_execution()
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import valset
+
+    tmp = tempfile.mkdtemp(prefix="valset_golden_")
+    paths = valset.build_valset_jpegs(tmp)
+    sha = valset.first_image_sha256(paths)
+    pixel_sets = {"cv2": valset.decode_cv2(paths)}
+    native_px = valset.decode_native(paths)
+    if native_px is not None:
+        pixel_sets["native"] = native_px
+        delta = np.abs(pixel_sets["cv2"].astype(np.int16) - native_px.astype(np.int16))
+        print(f"native vs cv2 decode: max |dpx| {delta.max()}, "
+              f"mean {delta.mean():.4f}")
+
+    graph = tf.Graph()
+    out = {"first_jpeg_sha256": np.frombuffer(bytes.fromhex(sha), np.uint8)}
+    with graph.as_default():
+        saver = tf.train.import_meta_graph(REF_CKPT + ".meta")
+        x_ph = graph.get_tensor_by_name("input_x_tensor:0")
+        softmax_ts = [op.outputs[0] for op in graph.get_operations()
+                      if op.type == "Softmax"]
+        logits_ts = softmax_ts[0].op.inputs[0]
+        with tf.Session(graph=graph) as sess:
+            saver.restore(sess, REF_CKPT)
+            for name, px in pixel_sets.items():
+                ids = np.empty(len(px), np.int8)
+                logits_all = np.empty((len(px), 6), np.float32)
+                for s in range(0, len(px), 64):
+                    chunk = px[s:s + 64]
+                    x_norm = ((chunk[:, :, :, ::-1].astype(np.float64) / 255.0)
+                              * 2.0 - 1.0).astype(np.float32)
+                    lg = sess.run(logits_ts, feed_dict={x_ph: x_norm})
+                    logits_all[s:s + 64] = lg
+                    ids[s:s + 64] = lg.argmax(-1)
+                out[f"argmax_{name}"] = ids
+                hist = np.bincount(ids.astype(np.int64), minlength=6)
+                print(f"valset argmax histogram ({name}): {hist}")
+                # top-2 margin: how fragile the exactness pin is
+                srt = np.sort(logits_all, axis=-1)
+                margin = srt[:, -1] - srt[:, -2]
+                print(f"  top-2 logit margin: min {margin.min():.4f}, "
+                      f"p1 {np.percentile(margin, 1):.4f}")
+                if name == "cv2":
+                    sample_idx = np.arange(0, len(px), 29)[:64]
+                    out["logits_sample_idx"] = sample_idx.astype(np.int32)
+                    out["logits_sample"] = logits_all[sample_idx]
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "valset_golden.npz"), **out)
+    agree = None
+    if "argmax_native" in out:
+        agree = int((out["argmax_native"] == out["argmax_cv2"]).sum())
+        print(f"native/cv2 argmax agreement: {agree}/{len(paths)}")
+    print("valset golden written:", {k: np.asarray(v).shape for k, v in out.items()})
+
+
 def make_resize_golden():
     import tensorflow.compat.v1 as tf
 
@@ -180,11 +247,18 @@ def make_cv2_resize_golden():
 
 
 if __name__ == "__main__":
+    import sys as _sys
+
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    make_forward_golden()
-    make_resize_golden()
-    make_cv2_resize_golden()
-    make_layer_golden()
+    if "--valset-only" in _sys.argv:
+        make_valset_golden()
+    else:
+        make_forward_golden()
+        make_resize_golden()
+        make_cv2_resize_golden()
+        make_layer_golden()
+        make_forward_golden_wide()
+        make_valset_golden()
 
 
 def make_layer_golden():
