@@ -125,7 +125,8 @@ def cmd_export(args):
     from roomnet_tpu.params.export import export_tflite
 
     out = export_tflite(
-        _load_variables(args.params, getattr(args, "model_dir", None)), args.out
+        _load_variables(args.params, getattr(args, "model_dir", None)), args.out,
+        quantize=args.quantize,
     )
     print("exported:", out)
 
@@ -242,6 +243,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--model-dir", default=None,
                    help="resume-latest from a training checkpoint dir")
     e.add_argument("--out", default="artifacts/roomnet.tflite")
+    e.add_argument("--quantize", choices=["dynamic", "int8"], default=None,
+                   help="quantized variant (mobile/README.md for measured "
+                        "flip rates; dynamic is the shipped winner)")
     e.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("serve", help="HTTP classification daemon")
