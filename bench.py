@@ -189,8 +189,12 @@ def main():
         # call to the classifier's batch size, and a 256-batch pad ships
         # 38 MB through the host->device link per lone request (measured
         # 425 ms p50). Batch 8 is the sensible single-stream serving shape.
+        # max_inflight=64: the concurrent segment below drives a 64-way
+        # burst to measure micro-batching throughput; the default admission
+        # cap (4x batch) would shed half of it with 429s by design.
         srv = ClassifierServer(
             RoomNetClassifier(variables, cfg, batch_size=8), port=0,
+            max_inflight=64,
         ).start()
         # Self-contained request image (independent of the e2e segment).
         img_path = os.path.join(tempfile.mkdtemp(prefix="bench_srv_"), "req.jpg")
