@@ -93,13 +93,41 @@ class ClassifierServer:
         self._threads: list[threading.Thread] = []
 
     # -- device worker: micro-batches pending requests ----------------------
+    def _buckets(self):
+        """Device-call batch shapes: powers of two up to the classifier's
+        batch size. Padding every call to the FULL batch ships batch_size
+        x 150 KB through the host->device link per lone request (1.2 MB at
+        batch 8 — ~35 ms at this relay's 34 MB/s); bucketing pads at most
+        2x while keeping the jit-signature count log2(max_batch)."""
+        b, out = 1, []
+        while b < self.classifier.batch_size:
+            out.append(b)
+            b *= 2
+        out.append(self.classifier.batch_size)
+        return out
+
+    @staticmethod
+    def _bucket_for(n: int, buckets) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
     def _warmup(self):
-        """Compile + run the device path once so the first request doesn't
-        pay the (remote, tens-of-seconds) jit compile."""
+        """Compile + run the device path for every bucket shape so no
+        request ever pays the (remote, tens-of-seconds) jit compile.
+
+        Must FETCH a result per shape: under a remote relay the dispatch
+        returns while the compile is still in flight (measured: warmup
+        "finished" in 1.6 s with 222 s of queued compiles, and the first
+        request then blew its 30 s budget)."""
         clf = self.classifier
         side = clf.cfg.im_side
-        batch = np.zeros((clf.batch_size, side, side, 3), np.uint8)
-        clf._predict(clf.variables, batch)
+        for b in self._buckets():
+            ids, _ = clf._predict(
+                clf.variables, np.zeros((b, side, side, 3), np.uint8)
+            )
+            int(np.asarray(ids)[0])  # scalar fetch = real completion barrier
 
     def _worker(self):
         from roomnet_tpu.utils.profiling import trace
@@ -134,11 +162,13 @@ class ClassifierServer:
             # recover-and-continue handler: any failure fails THESE requests
             # but never kills the worker thread.
             try:
+                buckets = self._buckets()
                 for at in range(0, max(len(rows), 0), clf.batch_size):
                     chunk = rows[at: at + clf.batch_size]
                     if not chunk:
                         break
-                    batch = np.zeros((clf.batch_size, side, side, 3), np.uint8)
+                    bsz = self._bucket_for(len(chunk), buckets)
+                    batch = np.zeros((bsz, side, side, 3), np.uint8)
                     for i, (job, k) in enumerate(chunk):
                         batch[i] = job.images[k]
                     with trace("serve/device_call"):
@@ -180,10 +210,17 @@ class ClassifierServer:
         """Decode on the bounded pool, enqueue one job, wait for results.
 
         Returns (job, images) or the string "overloaded" when admission or
-        the queue sheds the request."""
-        if not self._admit.acquire(blocking=False):
-            return "overloaded"
+        the queue sheds the request. Admission is weighted by image count:
+        a /classify_batch of N images takes N in-flight slots, so the
+        latency bound max_inflight implies holds regardless of batching."""
+        acquired = 0
+        for _ in range(len(bodies)):
+            if not self._admit.acquire(blocking=False):
+                break
+            acquired += 1
         try:
+            if acquired < len(bodies):
+                return "overloaded"
             images = list(self._decode_pool.map(self._preprocess, bodies))
             job = _Job(images)
             if any(im is not None for im in images):
@@ -196,7 +233,8 @@ class ClassifierServer:
                 job.event.set()  # nothing decodable: no device work
             return job, images
         finally:
-            self._admit.release()
+            for _ in range(acquired):
+                self._admit.release()
 
     # -- http ---------------------------------------------------------------
     def _make_handler(server_self):

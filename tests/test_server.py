@@ -284,6 +284,40 @@ def test_sustained_overload_sheds_fast_with_429():
     assert max(latencies) < 5.0, max(latencies)
 
 
+def test_device_calls_use_bucketed_batch_shapes():
+    """A lone request must NOT ship a full-batch pad through the
+    host->device link: device-call batch = next power of 2 >= coalesced
+    rows (150 KB instead of 1.2 MB at batch 8 for a single image)."""
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(7), TINY), TINY,
+        batch_size=8, class_labels=LABELS4,
+    )
+    real = clf._predict
+    shapes = []
+
+    def spy(variables, batch):
+        shapes.append(batch.shape[0])
+        return real(variables, batch)
+
+    clf._predict = spy
+    srv = ClassifierServer(clf, port=0).start()
+    try:
+        status, _ = _post(srv, "/classify", _img_bytes())
+        assert status == 200
+        assert shapes[-1] == 1, shapes
+        import base64
+
+        payload = json.dumps({
+            "images": [base64.b64encode(_img_bytes(seed=s)).decode()
+                       for s in range(3)]
+        }).encode()
+        status, _ = _post(srv, "/classify_batch", payload)
+        assert status == 200
+        assert shapes[-1] == 4, shapes  # 3 rows -> bucket 4, not pad-to-8
+    finally:
+        srv.stop()
+
+
 def test_warmup_compiles_before_serving():
     clf = RoomNetClassifier(
         init_variables(jax.random.PRNGKey(2), TINY), TINY,
