@@ -155,8 +155,15 @@ def main():
         put_s = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.device_put(x).block_until_ready()
+            xd_probe = jax.device_put(x)
+            # Scalar element fetch, NOT block_until_ready: the latter is
+            # effectively async under the axon relay (see the timing
+            # methodology note above) and would time the dispatch, not the
+            # 38.5 MB transfer. The fetch adds one ~30 ms round trip on a
+            # 1-2 s transfer — noise.
+            int(xd_probe[0, 0, 0, 0])
             put_s.append(time.perf_counter() - t0)
+            del xd_probe
         relay_mbps = x.nbytes / 1e6 / float(np.median(put_s))
         log(f"relay host->device bandwidth: {relay_mbps:.0f} MB/s "
             f"(ceiling {relay_mbps * 1e6 / (224 * 224 * 3):.0f} img/s)")

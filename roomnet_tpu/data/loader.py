@@ -182,6 +182,7 @@ class TrainFeeder:
             "previous_epoch_done": False,
             "synthetic": False,
         }
+        self.last_batch_synthetic = False
         self._q: queue.Queue = queue.Queue(maxsize=batches_per_queue)
         self._stop = threading.Event()
         self._pool = ThreadPoolExecutor(max_workers=decode_workers)

@@ -48,13 +48,17 @@ class _Job:
     row). Single requests carry 1 image; /classify_batch carries N. The
     worker fills `results` (per-image dict or None) and sets `event`."""
 
-    __slots__ = ("images", "event", "results", "error")
+    __slots__ = ("images", "event", "results", "error", "abandoned")
 
     def __init__(self, images):
         self.images = images
         self.event = threading.Event()
         self.results = [None] * len(images)
         self.error = None  # "device_error" when the batch's device call failed
+        # Set by the handler when its client has already received a 504:
+        # the worker skips abandoned jobs so zombie work can't consume
+        # device time behind freshly admitted requests.
+        self.abandoned = False
 
 
 class ClassifierServer:
@@ -88,12 +92,13 @@ class ClassifierServer:
             max_workers=decode_workers or min(4, (os.cpu_count() or 1) * 2)
         )
         self._jobs: queue.Queue[_Job] = queue.Queue(maxsize=self.max_inflight)
+        self._bucket_sizes = self._compute_buckets()
         self._stop = threading.Event()
         self._httpd: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
 
     # -- device worker: micro-batches pending requests ----------------------
-    def _buckets(self):
+    def _compute_buckets(self):
         """Device-call batch shapes: powers of two up to the classifier's
         batch size. Padding every call to the FULL batch ships batch_size
         x 150 KB through the host->device link per lone request (1.2 MB at
@@ -123,7 +128,7 @@ class ClassifierServer:
         request then blew its 30 s budget)."""
         clf = self.classifier
         side = clf.cfg.im_side
-        for b in self._buckets():
+        for b in self._bucket_sizes:
             ids, _ = clf._predict(
                 clf.variables, np.zeros((b, side, side, 3), np.uint8)
             )
@@ -142,15 +147,21 @@ class ClassifierServer:
             # Coalesce whole jobs until the device batch is full. A job is
             # never split across coalescing rounds, but a large /classify_
             # batch job is chunked over several device calls below.
-            batch_jobs = [first]
-            total = len(first.images)
+            # Abandoned jobs (client already timed out with 504) are
+            # dropped here so zombie work never reaches the device.
+            batch_jobs = [] if first.abandoned else [first]
+            total = len(first.images) if batch_jobs else 0
             while total < self.max_batch:
                 try:
                     j = self._jobs.get_nowait()
                 except queue.Empty:
                     break
+                if j.abandoned:
+                    continue
                 batch_jobs.append(j)
                 total += len(j.images)
+            if not batch_jobs:
+                continue
             # Flat view: (job, row-within-job) per decoded image.
             rows = [
                 (job, k)
@@ -159,15 +170,13 @@ class ClassifierServer:
                 if job.images[k] is not None
             ]
             # Everything from assembly through the device calls is inside one
-            # recover-and-continue handler: any failure fails THESE requests
-            # but never kills the worker thread.
+            # recover-and-continue handler: any failure fails the affected
+            # requests but never kills the worker thread. Chunk size honors
+            # max_batch (which __init__ clamps to <= the compiled batch).
             try:
-                buckets = self._buckets()
-                for at in range(0, max(len(rows), 0), clf.batch_size):
-                    chunk = rows[at: at + clf.batch_size]
-                    if not chunk:
-                        break
-                    bsz = self._bucket_for(len(chunk), buckets)
+                for at in range(0, len(rows), self.max_batch):
+                    chunk = rows[at: at + self.max_batch]
+                    bsz = self._bucket_for(len(chunk), self._bucket_sizes)
                     batch = np.zeros((bsz, side, side, 3), np.uint8)
                     for i, (job, k) in enumerate(chunk):
                         batch[i] = job.images[k]
@@ -183,9 +192,19 @@ class ClassifierServer:
                             "confidence": float(probs[i, cid]),
                             "probs": [float(p) for p in probs[i]],
                         }
-            except Exception:  # device error: fail THESE requests, keep serving
+            except Exception:
+                # Device error mid-round: fail only jobs whose results are
+                # incomplete — a job fully served by an earlier successful
+                # chunk completes normally (its device work is not thrown
+                # away).
                 for job in batch_jobs:
-                    job.error = "device_error"
+                    done = all(
+                        job.results[k] is not None
+                        for k in range(len(job.images))
+                        if job.images[k] is not None
+                    )
+                    if not done:
+                        job.error = "device_error"
                     job.event.set()
                 continue
             for job in batch_jobs:
@@ -228,7 +247,12 @@ class ClassifierServer:
                     self._jobs.put_nowait(job)
                 except queue.Full:
                     return "overloaded"
-                job.event.wait(timeout=self.request_timeout_s)
+                if not job.event.wait(timeout=self.request_timeout_s):
+                    # Client gets 504; mark the job so the worker drops it
+                    # instead of burning device time on an answer nobody
+                    # will read (the admission slots released below must
+                    # not re-admit load on top of zombie work).
+                    job.abandoned = True
             else:
                 job.event.set()  # nothing decodable: no device work
             return job, images

@@ -325,10 +325,18 @@ class Trainer:
                 epoch_flags += 1
                 # Require >=1 real inferred batch before exiting (the
                 # reference exits with zero predictions when the boundary
-                # lands at the queue head); two whole epochs of synthetic
-                # batches means the dataset is gone — give up empty.
-                if y_preds or epoch_flags >= 2:
+                # lands at the queue head). Two whole epochs of synthetic
+                # batches means the val set is gone — RAISE rather than
+                # return empty: the caller would otherwise record a fake
+                # accuracy-0.0 stats entry and a roomnet--0.0--{step}
+                # checkpoint (same stance as the train-side fetch_next).
+                if y_preds:
                     break
+                if epoch_flags >= 2:
+                    raise RuntimeError(
+                        "every validation batch in two epochs was "
+                        "unreadable — refusing to score fabricated data"
+                    )
         y_vals = y_vals[: len(y_preds)]
         return y_vals, y_preds
 

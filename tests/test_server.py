@@ -318,6 +318,51 @@ def test_device_calls_use_bucketed_batch_shapes():
         srv.stop()
 
 
+def test_abandoned_jobs_never_reach_the_device():
+    """A request that already timed out (client got 504) must not consume
+    a device call when the worker finally drains the queue — zombie work
+    would starve freshly admitted requests (round-3 review)."""
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(9), TINY), TINY,
+        batch_size=1, class_labels=LABELS4,
+    )
+    real = clf._predict
+    real(clf.variables, np.zeros((1, TINY.im_side, TINY.im_side, 3), np.uint8))
+    calls = []
+
+    def slow(variables, batch):
+        calls.append(batch.shape[0])
+        time.sleep(1.2)
+        return real(variables, batch)
+
+    clf._predict = slow
+    # batch_size=1: jobs queue behind the in-flight call one at a time
+    srv = ClassifierServer(clf, port=0, request_timeout_s=0.3).start()
+    try:
+        statuses = []
+        lock = threading.Lock()
+
+        def hit():
+            s, _ = _post(srv, "/classify", _img_bytes())
+            with lock:
+                statuses.append(s)
+
+        threads = [threading.Thread(target=hit) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert statuses == [504, 504, 504, 504], statuses
+        time.sleep(3.0)  # let the worker drain whatever it will
+        # Only jobs already in flight when their clients timed out may have
+        # reached the device; the queued ones must have been dropped.
+        assert len(calls) <= 2, calls
+    finally:
+        srv.stop()
+
+
 def test_warmup_compiles_before_serving():
     clf = RoomNetClassifier(
         init_variables(jax.random.PRNGKey(2), TINY), TINY,

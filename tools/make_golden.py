@@ -246,21 +246,6 @@ def make_cv2_resize_golden():
     print("cv2 resize golden:", len(out), "arrays")
 
 
-if __name__ == "__main__":
-    import sys as _sys
-
-    os.makedirs(GOLDEN_DIR, exist_ok=True)
-    if "--valset-only" in _sys.argv:
-        make_valset_golden()
-    else:
-        make_forward_golden()
-        make_resize_golden()
-        make_cv2_resize_golden()
-        make_layer_golden()
-        make_forward_golden_wide()
-        make_valset_golden()
-
-
 def make_layer_golden():
     """Per-layer taps from the reference graph (sliced small) — regression
     fixtures so future kernel/fusion changes can be localized layer-by-layer
@@ -294,3 +279,20 @@ def make_layer_golden():
         out[k] = v[:, : min(8, v.shape[1] if v.ndim > 2 else v.shape[1])] if v.ndim == 2 else v[:, :8, :8, :]
     np.savez_compressed(os.path.join(GOLDEN_DIR, "layers_golden.npz"), **out)
     print("layer golden:", {k: v.shape for k, v in out.items()})
+
+
+if __name__ == "__main__":
+    # Must sit BELOW every generator def: this module executes top-to-bottom,
+    # so a mid-file __main__ block would NameError on later definitions.
+    import sys as _sys
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    if "--valset-only" in _sys.argv:
+        make_valset_golden()
+    else:
+        make_forward_golden()
+        make_resize_golden()
+        make_cv2_resize_golden()
+        make_layer_golden()
+        make_forward_golden_wide()
+        make_valset_golden()

@@ -93,16 +93,19 @@ def first_image_sha256(paths: list[str]) -> str:
 
 
 def decode_cv2(paths: list[str], im_side: int = 224) -> np.ndarray:
-    """The classifier's cv2 preprocess path (classify.RoomNetClassifier.
-    _load_cv2): center-crop -> INTER_LINEAR resize -> BGR uint8."""
+    """The classifier's cv2 preprocess path: center-crop -> INTER_LINEAR
+    resize -> BGR uint8. Uses the classifier's OWN crop function so the
+    oracle can never desynchronize from the production preprocess."""
     import cv2
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from roomnet_tpu.data.loader import center_crop
 
     out = np.empty((len(paths), im_side, im_side, 3), np.uint8)
     for i, p in enumerate(paths):
-        im = cv2.imread(p)
-        h, w = im.shape[:2]
-        off = abs((w - h) // 2)
-        im = im[:, off:off + h] if h < w else (im[off:off + w] if w < h else im)
+        im = center_crop(cv2.imread(p))
         if im.shape[0] != im_side or im.shape[1] != im_side:
             im = cv2.resize(im, (im_side, im_side))
         out[i] = im
