@@ -76,7 +76,8 @@ def cmd_infer(args):
 
     cfg = DEFAULT_CONFIG if args.exact else FAST_CONFIG
     clf = RoomNetClassifier(
-        _load_variables(args.params, args.model_dir), cfg, batch_size=args.batch_size
+        _load_variables(args.params, args.model_dir), cfg,
+        batch_size=args.batch_size, fast_decode=args.fast_decode,
     )
     xl = classify_im_dir(clf, args.images_dir, overlay=not args.no_overlay)
     print("Results:", xl)
@@ -206,6 +207,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--no-overlay", action="store_true")
     i.add_argument("--exact", action="store_true",
                    help="f32 parity mode instead of bf16 serving mode")
+    i.add_argument("--fast-decode", action="store_true",
+                   help="DCT-scaled JPEG decode (needs csrc/; >=2x "
+                        "supersampling enforced — PERF.md for measured "
+                        "flip rates on large sources)")
     i.set_defaults(fn=cmd_infer)
 
     v = sub.add_parser("validate", help="score a labeled list file")
