@@ -175,8 +175,15 @@ def main():
             _, _, ok = clf.predict_paths(paths)
             runs.append(int(ok.sum()) / (time.perf_counter() - t0))
         e2e_ips = float(np.median(runs))
+        # Relay-normalized pipeline quality: e2e as a fraction of that
+        # run's transfer ceiling (images/s the measured link bandwidth
+        # admits). Comparable ACROSS rounds even though the link itself
+        # wanders 2-3x; 1.0 = perfectly transfer-bound pipelining.
+        ceiling = relay_mbps * 1e6 / (224 * 224 * 3)
+        e2e_vs_ceiling = e2e_ips / ceiling
         log(f"end-to-end directory inference (1839 imgs, median of 3): "
-            f"{e2e_ips:.0f} img/s  (runs: {[round(r) for r in runs]})")
+            f"{e2e_ips:.0f} img/s  (runs: {[round(r) for r in runs]}; "
+            f"{100 * e2e_vs_ceiling:.0f}% of this run's relay ceiling)")
     except Exception as e:  # e2e is an extra; never fail the bench on it
         log(f"e2e segment skipped: {type(e).__name__}: {e}")
 
@@ -267,6 +274,9 @@ def main():
             "e2e_harness": "1839 x 640x480 q88 JPEGs, photo-like content",
             "relay_host_to_device_MBps": (
                 round(relay_mbps, 1) if e2e_ips else None
+            ),
+            "e2e_pct_of_relay_ceiling": (
+                round(100 * e2e_vs_ceiling, 1) if e2e_ips else None
             ),
             "train_images_per_sec_batch45": round(train_ips, 1),
             "reference_train_images_per_sec_gtx1070": round(REF_TRAIN_IPS, 1),
