@@ -95,6 +95,100 @@ def cmd_validate(args):
     print(json.dumps(stats, indent=2))
 
 
+def cmd_doctor(args):
+    """Environment/installation diagnostics: one PASS/WARN/FAIL line per
+    dependency the framework's surfaces need. Exit code 1 on any FAIL."""
+    import os
+
+    checks = []  # (status, name, detail)
+
+    def check(name, fn, *, warn_only=False):
+        try:
+            detail = fn()
+            checks.append(("PASS", name, detail or ""))
+        except Exception as e:  # noqa: BLE001 — each check reports, never raises
+            checks.append(("WARN" if warn_only else "FAIL", name,
+                           f"{type(e).__name__}: {e}"))
+
+    def _jax():
+        import jax
+
+        devs = jax.devices()
+        return f"jax {jax.__version__}, {len(devs)}x {devs[0].platform}"
+
+    check("jax backend", _jax)
+
+    def _native():
+        from roomnet_tpu.data import native
+
+        if not native.available():
+            raise RuntimeError("csrc/libroomnet_io.so not built (make -C csrc); "
+                               "decode falls back to cv2")
+        return "fused C++ decode pipeline loaded"
+
+    check("native data-plane", _native, warn_only=True)
+
+    def _cv2():
+        import cv2
+
+        return f"opencv {cv2.__version__}"
+
+    check("cv2 (decode fallback, overlays, labeler)", _cv2)
+
+    def _params():
+        import numpy as np
+
+        from roomnet_tpu.params import schema
+
+        path = args.params
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} missing — run `python -m roomnet_tpu convert`")
+        from roomnet_tpu.models.roomnet import param_count
+
+        n = param_count(schema.unflatten_variables(dict(np.load(path))))
+        if n != 178062:
+            raise ValueError(f"param count {n} != 178062")
+        return f"{path}: 178,062 params"
+
+    check("converted reference params", _params, warn_only=True)
+
+    def _golden():
+        base = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "golden")
+        need = ["forward_golden.npz", "resize_golden.npz", "valset_golden.npz"]
+        missing = [f for f in need if not os.path.exists(os.path.join(base, f))]
+        if missing:
+            raise FileNotFoundError(", ".join(missing))
+        return f"{len(need)} fixtures present"
+
+    check("golden parity fixtures", _golden, warn_only=True)
+
+    def _cache():
+        d = "/tmp/jax_cache"
+        os.makedirs(d, exist_ok=True)
+        probe = os.path.join(d, ".doctor_probe")
+        open(probe, "w").close()
+        os.unlink(probe)
+        return f"{d} writable"
+
+    check("compile cache dir", _cache, warn_only=True)
+
+    def _tf():
+        import tensorflow as tf
+
+        return f"tensorflow {tf.__version__} (convert/export available)"
+
+    check("tensorflow (offline convert/export only)", _tf, warn_only=True)
+
+    width = max(len(n) for _, n, _ in checks)
+    failed = False
+    for status, name, detail in checks:
+        print(f"[{status}] {name:<{width}}  {detail}")
+        failed |= status == "FAIL"
+    sys.exit(1 if failed else 0)
+
+
 def cmd_convert(args):
     from roomnet_tpu.params.convert_tf import convert_tf_checkpoint, save_flat
 
@@ -270,6 +364,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--request-timeout", type=float, default=30.0,
                    help="per-request device-wait timeout (s)")
     s.set_defaults(fn=cmd_serve)
+
+    d = sub.add_parser("doctor", help="environment diagnostics (PASS/WARN/FAIL)")
+    d.add_argument("--params", default="artifacts/roomnet_params.npz")
+    d.set_defaults(fn=cmd_doctor)
 
     b = sub.add_parser("bench", help="run the benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -377,43 +377,45 @@ class Trainer:
         # be sequenced behind it.
         self._live_state = None  # last state whose metrics were fetched
 
+        def _emergency_save(st, suffix: str):
+            """Best-effort save of the last COMPLETED state (stall or
+            interrupt). Rank 0 + npz: a normal resumable save into the
+            model dir. Otherwise (orbax backend, or rank>0): a collective
+            Orbax save can't be driven from a watchdog thread or an
+            exception handler without hanging the other ranks — FALL BACK
+            to a local npz dump under model_dir/emergency/ rather than
+            silently doing nothing (round-2 review weak #6)."""
+            if st is None:
+                print(f"{suffix}: no completed step state yet — nothing to dump")
+                return
+            if tc.ckpt_backend != "orbax" and jax.process_index() == 0:
+                path = self.store.save(
+                    st.variables(self.cfg), int(st.step), suffix=suffix,
+                    opt_state_flat=flatten_opt_state(st.opt_state),
+                )
+                print(f"{suffix}: emergency checkpoint written to {path}")
+            else:
+                rank = jax.process_index()
+                dump = CheckpointStore(os.path.join(tc.model_dir, "emergency"))
+                path = dump.save(
+                    st.variables(self.cfg), int(st.step),
+                    suffix=f"{suffix}-rank{rank}",
+                    opt_state_flat=flatten_opt_state(st.opt_state),
+                )
+                print(
+                    f"{suffix}: collective checkpointing unavailable here "
+                    f"(backend={tc.ckpt_backend}, rank={rank}) — local npz "
+                    f"emergency dump written to {path}; restore it manually "
+                    f"via CheckpointStore.load"
+                )
+
         def _on_stall(info):
             if tc.stall_abort:
                 import _thread
 
                 _thread.interrupt_main()
-            st = self._live_state
-            if tc.stall_checkpoint and st is not None:
-                # Rank 0 + npz: normal emergency save into the model dir.
-                # Otherwise (orbax backend, or rank>0): a collective Orbax
-                # save can't be driven from one rank's watchdog thread
-                # without hanging the others — FALL BACK to a local npz dump
-                # of the replicated state under model_dir/emergency/ rather
-                # than silently doing nothing (round-2 review weak #6).
-                if tc.ckpt_backend != "orbax" and jax.process_index() == 0:
-                    path = self.store.save(
-                        st.variables(self.cfg), int(st.step), suffix="stall",
-                        opt_state_flat=flatten_opt_state(st.opt_state),
-                    )
-                    print(f"Stall: emergency checkpoint written to {path}")
-                else:
-                    rank = jax.process_index()
-                    dump = CheckpointStore(
-                        os.path.join(tc.model_dir, "emergency")
-                    )
-                    path = dump.save(
-                        st.variables(self.cfg), int(st.step),
-                        suffix=f"stall-rank{rank}",
-                        opt_state_flat=flatten_opt_state(st.opt_state),
-                    )
-                    print(
-                        f"Stall: collective checkpointing unavailable from the "
-                        f"watchdog thread (backend={tc.ckpt_backend}, "
-                        f"rank={rank}) — local npz emergency dump written to "
-                        f"{path}; restore it manually via CheckpointStore.load"
-                    )
-            elif tc.stall_checkpoint:
-                print("Stall: no completed step state yet — nothing to dump")
+            if tc.stall_checkpoint:
+                _emergency_save(self._live_state, "stall")
 
         watchdog = (
             StepWatchdog(tc.stall_timeout_s, on_stall=_on_stall)
@@ -444,6 +446,20 @@ class Trainer:
                 "missing or corrupt; refusing to train on fabricated zeros"
             )
 
+        # Preemption safety: SIGTERM (maintenance eviction, spot reclaim,
+        # SLURM/K8s shutdown) must checkpoint like Ctrl-C does, not drop
+        # up to save_freq steps of work. Raise KeyboardInterrupt so the
+        # except/finally below runs; restore the old handler on exit.
+        # Signals only deliver to the main thread; skip elsewhere (tests).
+        import signal
+        import threading as _threading
+
+        old_sigterm = None
+        if _threading.current_thread() is _threading.main_thread():
+            def _sigterm(signum, frame):
+                raise KeyboardInterrupt("SIGTERM")
+
+            old_sigterm = signal.signal(signal.SIGTERM, _sigterm)
         try:
             for it in range(start_step, start_step + total_steps):
                 new_ph = phase_at(tc.phases, it)
@@ -537,7 +553,19 @@ class Trainer:
                     dt = time.perf_counter() - t0
                     print(f"Step {int(state.step)} loss = {loss:.5f} "
                           f"learn_rate = {lr:.3e} ({dt * 1e3:.1f} ms)")
+        except KeyboardInterrupt:
+            # Interrupt (Ctrl-C, stall_abort escalation, SIGTERM/preemption):
+            # save the last COMPLETED state before propagating — a merely-
+            # dispatched `state` may be donated/deleted or stuck on a wedged
+            # device, so use the _live_state copy (same rule as the stall
+            # path). Without this, an eviction drops up to save_freq steps.
+            _emergency_save(self._live_state, "interrupt")
+            raise
         finally:
+            if old_sigterm is not None:
+                import signal as _signal
+
+                _signal.signal(_signal.SIGTERM, old_sigterm)
             if watchdog:
                 watchdog.stop()
             if hasattr(self.store, "wait"):

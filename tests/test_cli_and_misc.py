@@ -1,5 +1,6 @@
 """CLI parser, model registry, profiling utils, plotters, labeler."""
 
+import argparse
 import json
 import os
 
@@ -21,11 +22,30 @@ def test_cli_parses_all_subcommands():
         ["plot-checkpoints", "--model-dir", "/m"],
         ["label", "--in-dir", "/x"],
         ["serve", "--port", "0"],
-        ["export"],
+        ["export", "--quantize", "dynamic"],
         ["bench"],
+        ["doctor"],
     ]:
         args = p.parse_args(argv)
         assert callable(args.fn)
+
+
+def test_doctor_reports_and_exits_clean(capsys):
+    from roomnet_tpu.cli import cmd_doctor
+
+    ns = argparse.Namespace(params="artifacts/roomnet_params.npz")
+    with pytest.raises(SystemExit) as e:
+        cmd_doctor(ns)
+    assert e.value.code == 0  # this container: everything present
+    out = capsys.readouterr().out
+    assert "[PASS] jax backend" in out
+    assert "FAIL" not in out
+    # a missing params file is a WARN (doctor still exits 0), never a crash
+    ns = argparse.Namespace(params="/nonexistent/params.npz")
+    with pytest.raises(SystemExit) as e:
+        cmd_doctor(ns)
+    assert e.value.code == 0
+    assert "[WARN] converted reference params" in capsys.readouterr().out
 
 
 def test_registry_variants():

@@ -356,6 +356,44 @@ def test_stall_orbax_backend_falls_back_to_local_npz_dump(data_dir):
     assert restored is not None and restored[1] >= 1
 
 
+def test_interrupt_saves_emergency_checkpoint(data_dir):
+    """Ctrl-C / SIGTERM preemption mid-run must checkpoint the last
+    completed state (suffix 'interrupt', resumable) instead of dropping
+    up to save_freq steps of work."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),)),
+        model_dir=str(data_dir / "models_intr"),
+        stats_fpath=str(data_dir / "stats_intr.json"),
+        save_freq=1000,  # only the interrupt save may produce a ckpt
+        stall_timeout_s=0,
+    )
+    tr = Trainer(tc, cfg)
+    orig = tr._step_fn
+    calls = {"n": 0}
+
+    def interrupting_step_fn(ph):
+        fn = orig(ph)
+
+        def wrapped(*a):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise KeyboardInterrupt  # simulated Ctrl-C / SIGTERM
+            return fn(*a)
+
+        return wrapped
+
+    tr._step_fn = interrupting_step_fn
+    with pytest.raises(KeyboardInterrupt):
+        tr.train(total_steps=10, log_every=1)
+    ckpts = [c for c in os.listdir(tc.model_dir) if "--interrupt--" in c]
+    assert ckpts, os.listdir(tc.model_dir)
+    restored = tr.store.load(cfg=cfg, with_opt_state=True)
+    assert restored is not None and restored[1] >= 1
+
+
 def test_stall_abort_interrupts_training(data_dir):
     """stall_abort=True: the watchdog interrupts the main thread; the loop's
     finally block still cleans up (feeders closed, no hang)."""
