@@ -115,6 +115,28 @@ def main():
     train_ips = TRAIN_BATCH * iters / (time.perf_counter() - t0)
     log(f"training: {train_ips:.0f} img/s (reference: {REF_TRAIN_IPS:.1f})")
 
+    # Device training CAPACITY at batch 128: batch 45 is bound by the
+    # ~50 ms/step dispatch floor of this tunneled relay, not by compute —
+    # measured batch 45 and 128 cost the SAME wall time per step (49 vs
+    # 51 ms), so the apples-to-apples batch-45 number understates the
+    # chip by ~2.7x. On a local TPU-VM (microsecond dispatch) batch-45
+    # training runs at the capacity rate.
+    CAP_BATCH = 128
+    state_c = init_train_state(variables, hp)
+    xc = jax.device_put(
+        rng.randint(0, 256, size=(CAP_BATCH, 224, 224, 3), dtype=np.uint8)
+    )
+    yc = jax.device_put(rng.randint(0, 6, size=(CAP_BATCH,), dtype=np.int32))
+    state_c, metrics = step(state_c, xc, yc, key)
+    _ = float(metrics["loss"])  # compile (new batch shape) + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state_c, metrics = step(state_c, xc, yc, key)
+    _ = float(metrics["loss"])
+    train_cap_ips = CAP_BATCH * iters / (time.perf_counter() - t0)
+    del state_c, xc, yc
+    log(f"training capacity (batch {CAP_BATCH}): {train_cap_ips:.0f} img/s")
+
     # ---- end-to-end directory inference (decode -> device -> argmax) ------
     # THE canonical e2e harness (PERF.md and README quote this number):
     # 1839 images — the reference val-set size (README.md:3) — as 640x480
@@ -279,6 +301,7 @@ def main():
                 round(100 * e2e_vs_ceiling, 1) if e2e_ips else None
             ),
             "train_images_per_sec_batch45": round(train_ips, 1),
+            "train_capacity_images_per_sec_batch128": round(train_cap_ips, 1),
             "reference_train_images_per_sec_gtx1070": round(REF_TRAIN_IPS, 1),
             "p50_single_image_latency_ms": round(p50_ms, 3),
             "steady_state_serving_p50_ms": (
