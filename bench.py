@@ -116,11 +116,11 @@ def main():
     log(f"training: {train_ips:.0f} img/s (reference: {REF_TRAIN_IPS:.1f})")
 
     # Device training CAPACITY at batch 128: batch 45 is bound by the
-    # ~50 ms/step dispatch floor of this tunneled relay, not by compute —
-    # measured batch 45 and 128 cost the SAME wall time per step (49 vs
-    # 51 ms), so the apples-to-apples batch-45 number understates the
-    # chip by ~2.7x. On a local TPU-VM (microsecond dispatch) batch-45
-    # training runs at the capacity rate.
+    # device's small-batch latency floor (kernel occupancy), not FLOPs —
+    # measured batch 45 and 128 cost the SAME ~50 ms wall per step, and a
+    # lax.scan multi-step ruled out host dispatch as the cause (PERF.md
+    # round 3). The apples-to-apples batch-45 number therefore
+    # understates the chip ~2.7x; this reports what batch >=128 sustains.
     CAP_BATCH = 128
     state_c = init_train_state(variables, hp)
     xc = jax.device_put(

@@ -86,6 +86,14 @@ class TrainConfig:
     # Checkpoint backend: "npz" (default, portable flat files) or "orbax"
     # (async, sharding-aware — use for multi-host/pod training).
     ckpt_backend: str = "npz"
+    # Optimizer steps per device dispatch (lax.scan inside the jitted
+    # call — train/step.py:make_multi_train_step). Use >1 only when host
+    # dispatch genuinely dominates step time: on THIS rig it measurably
+    # does not (the ~50 ms batch-45 floor is device-side small-batch
+    # latency; scan K=8 gained nothing — PERF.md round 3), hence
+    # default 1. The call window clamps at phase/save-freq boundaries so
+    # validation cadence and the curriculum are unchanged.
+    steps_per_call: int = 1
 
     # README.md:34-38 curriculum as data (approximate step boundaries).
     # NOTE a deliberate divergence from the reference README: phase 3 keeps
@@ -174,19 +182,23 @@ class Trainer:
         print(f"Model restored at step {step}")
         return state
 
-    def _to_global(self, x):
+    def _to_global(self, x, *, leading_steps: bool = False):
         """Host batch -> device array sharded over 'data'. Single-process:
         a plain device_put. Multi-process: every rank holds the IDENTICAL
         full batch (the feeder is bit-deterministic per seed), so each rank
         contributes its addressable shards via make_array_from_callback —
-        multi-host feeding with zero coordination."""
+        multi-host feeding with zero coordination.
+
+        leading_steps: the array is a (K, batch, ...) multi-step stack —
+        the scan axis stays unsharded, the batch axis shards on 'data'."""
         if self.mesh is None:
             # No mesh: still device_put so the prefetch loop's host->device
             # copy overlaps the previous step's compute.
             return jax.device_put(x)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        sharding = NamedSharding(self.mesh, P("data"))
+        spec = P(None, "data") if leading_steps else P("data")
+        sharding = NamedSharding(self.mesh, spec)
         if jax.process_count() == 1:
             return jax.device_put(x, sharding)
         return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
@@ -238,23 +250,28 @@ class Trainer:
         )
 
     # -- compiled fns -------------------------------------------------------
-    def _step_fn(self, ph: Phase):
+    def _step_fn(self, ph: Phase, *, multi: bool = False):
+        """Single-step fn, or (multi=True) the K-steps-per-dispatch scan
+        variant — K is taken from the input shape, so one cache entry per
+        phase covers every window width."""
         key = (ph.dropout_enabled, ph.dropout_rate, ph.compute_bn_mean_var,
-               ph.update_bn_moving)
+               ph.update_bn_moving, multi)
         if key not in self._compiled:
-            fn = make_train_step(self._hp(ph), self.cfg)
+            from roomnet_tpu.train.step import make_multi_train_step
+
+            factory = make_multi_train_step if multi else make_train_step
+            fn = factory(self._hp(ph), self.cfg)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                data = NamedSharding(self.mesh, P("data"))
-                repl = NamedSharding(self.mesh, P())
+                spec = P(None, "data") if multi else P("data")
+                data = NamedSharding(self.mesh, spec)
                 fn = jax.jit(
                     fn,
                     in_shardings=(None, data, data, None),
                     out_shardings=None,
                     donate_argnums=(0,),
                 )
-                del repl
             else:
                 fn = jax.jit(fn, donate_argnums=(0,))
             self._compiled[key] = fn
@@ -430,7 +447,7 @@ class Trainer:
         # extended across the PCIe/ICI boundary).
         pending = None  # (x_dev, y_dev) already on device
 
-        def fetch_next():
+        def fetch_host_batch():
             # Skip synthetic batches (whole batch unreadable — fabricated
             # zeros labeled class 0): a silent full-batch gradient step on
             # fake data would corrupt the run. Bounded by one epoch of
@@ -438,13 +455,41 @@ class Trainer:
             for _ in range(max(train_reader.batches_per_epoch, 1) + 1):
                 x, y = train_reader.dequeue()
                 if not train_reader.last_batch_synthetic:
-                    x, y = self._pad_for_mesh(x, y)
-                    return self._to_global(x), self._to_global(y)
+                    return self._pad_for_mesh(x, y)
                 print("skipping synthetic batch (all files unreadable)")
             raise RuntimeError(
                 "every batch in a full epoch was unreadable — dataset files "
                 "missing or corrupt; refusing to train on fabricated zeros"
             )
+
+        def fetch_next(k: int):
+            """k host batches -> device. k==1 keeps the classic (B, ...)
+            shapes; k>1 stacks to (k, B, ...) for the scanned multi-step."""
+            if k == 1:
+                x, y = fetch_host_batch()
+                return self._to_global(x), self._to_global(y)
+            pairs = [fetch_host_batch() for _ in range(k)]
+            x = np.stack([p[0] for p in pairs])
+            y = np.stack([p[1] for p in pairs])
+            return (
+                self._to_global(x, leading_steps=True),
+                self._to_global(y, leading_steps=True),
+            )
+
+        end_step = start_step + total_steps
+
+        def window(i: int) -> int:
+            """Steps for the next dispatch: steps_per_call clamped at the
+            run end, the next phase boundary, and the next save/validation
+            point — so cadence and curriculum are unchanged by scanning."""
+            nxt = end_step
+            for p in tc.phases:
+                if i < p.until_step:
+                    nxt = min(nxt, p.until_step)
+                    break
+            if tc.save_freq > 0:
+                nxt = min(nxt, ((i // tc.save_freq) + 1) * tc.save_freq)
+            return max(1, min(tc.steps_per_call, nxt - i))
 
         # Preemption safety: SIGTERM (maintenance eviction, spot reclaim,
         # SLURM/K8s shutdown) must checkpoint like Ctrl-C does, not drop
@@ -461,7 +506,8 @@ class Trainer:
 
             old_sigterm = signal.signal(signal.SIGTERM, _sigterm)
         try:
-            for it in range(start_step, start_step + total_steps):
+            it = start_step
+            while it < end_step:
                 new_ph = phase_at(tc.phases, it)
                 if new_ph.batch_size != ph.batch_size:
                     train_reader.close()
@@ -508,7 +554,10 @@ class Trainer:
                             json.dump(all_stats, f, indent=4, sort_keys=True)
                         print(f"Validated at step {state.step}: "
                               f"acc {entry['accuracy']:.4f}")
-                x, y = pending if pending is not None else fetch_next()
+                k = window(it)
+                if pending is not None and pending[0] != k:
+                    pending = None  # prefetch built for a different window
+                x, y = pending[1:] if pending is not None else fetch_next(k)
                 pending = None
                 rng, sub = jax.random.split(rng)
                 t0 = time.perf_counter()
@@ -520,7 +569,7 @@ class Trainer:
                 first_compile = sig not in self._invoked_sigs
                 if first_compile and watchdog:
                     watchdog.pause()
-                state, metrics = self._step_fn(ph)(state, x, y, sub)
+                state, metrics = self._step_fn(ph, multi=k > 1)(state, x, y, sub)
                 if first_compile:
                     self._invoked_sigs.add(sig)
                     if watchdog:
@@ -531,9 +580,10 @@ class Trainer:
                         float(metrics["loss"])
                         watchdog.resume()
                 # While the (async-dispatched) step runs, stage next batch.
-                if it + 1 < start_step + total_steps:
-                    pending = fetch_next()
-                if it % log_every == 0:
+                if it + k < end_step:
+                    k_next = window(it + k)
+                    pending = (k_next, *fetch_next(k_next))
+                if it % log_every < k:
                     # float() forces completion — only then is the heartbeat
                     # meaningful (dispatch alone returns even off a wedged
                     # device session).
@@ -553,6 +603,7 @@ class Trainer:
                     dt = time.perf_counter() - t0
                     print(f"Step {int(state.step)} loss = {loss:.5f} "
                           f"learn_rate = {lr:.3e} ({dt * 1e3:.1f} ms)")
+                it += k
         except KeyboardInterrupt:
             # Interrupt (Ctrl-C, stall_abort escalation, SIGTERM/preemption):
             # save the last COMPLETED state before propagating — a merely-

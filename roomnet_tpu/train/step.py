@@ -161,3 +161,39 @@ def make_train_step(
         )
 
     return step_fn
+
+
+def make_multi_train_step(
+    hp: TrainHParams = TrainHParams(), cfg: RoomNetConfig = DEFAULT_CONFIG
+):
+    """K optimizer steps in ONE dispatch via `lax.scan` — the TPU-native
+    "training loop inside the program" pattern.
+
+    When it helps: hosts where per-call dispatch dominates step time
+    (slow controllers, high-latency links). Measured on THIS rig it does
+    NOT (the batch-45 ~50 ms floor is device-side small-batch latency —
+    K=8 scanning gained nothing; PERF.md round 3), which is why
+    TrainConfig.steps_per_call defaults to 1. Semantically identical to
+    K sequential `make_train_step` calls fed the same per-step RNGs
+    (pinned by test_train_step).
+
+    Returns multi_step(state, x[K,B,S,S,3] uint8, y[K,B], rng) ->
+    (state, metrics) where metrics are the LAST step's (matching what a
+    sequential loop would print) plus `mean_loss` over the call. K is
+    taken from the input shape — one compile per distinct K.
+    """
+    step_fn = make_train_step(hp, cfg)
+
+    def multi_step_fn(state: TrainState, x_k, y_k, rng):
+        rngs = jax.random.split(rng, x_k.shape[0])
+
+        def body(carry, inp):
+            x, y, r = inp
+            return step_fn(carry, x, y, r)
+
+        state, metrics_k = jax.lax.scan(body, state, (x_k, y_k, rngs))
+        metrics = {k: v[-1] for k, v in metrics_k.items()}
+        metrics["mean_loss"] = jnp.mean(metrics_k["loss"])
+        return state, metrics
+
+    return multi_step_fn

@@ -69,6 +69,34 @@ def test_trainer_end_to_end_and_resume(data_dir):
     assert int(state2.step) > 11
 
 
+def test_trainer_multi_step_per_dispatch(data_dir):
+    """steps_per_call>1 (lax.scan inside the dispatch): same step count,
+    same validation cadence, windows clamped at save/phase boundaries,
+    resumable — the curriculum semantics must be unchanged."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(
+            Phase(until_step=7, batch_size=4),
+            Phase(until_step=1 << 62, batch_size=4, dropout_enabled=True,
+                  dropout_rate=0.2),
+        )),
+        model_dir=str(data_dir / "models_scan"),
+        stats_fpath=str(data_dir / "stats_scan.json"),
+        steps_per_call=4,  # does not divide save_freq=5 or the phase at 7
+    )
+    state = Trainer(tc, cfg).train(total_steps=13, log_every=1)
+    assert int(state.step) == 13
+    stats = json.load(open(tc.stats_fpath))
+    # validations at exactly the save_freq multiples (5 and 10)
+    assert [s["step"] for s in stats] == [5, 10]
+    # resume continues from the latest checkpoint (step 10) with the
+    # scanned path: one k=4 window -> 14
+    state2 = Trainer(tc, cfg).train(total_steps=4, log_every=1)
+    assert int(state2.step) == 14
+
+
 def test_trainer_refuses_fully_unreadable_dataset(data_dir, tmp_path):
     """After the warm list files exist, corrupt every image: the Trainer
     must skip the synthetic zero batches and raise rather than silently
@@ -297,8 +325,8 @@ def test_stall_writes_emergency_checkpoint(data_dir):
     tr = Trainer(tc, cfg)
     orig = tr._step_fn
 
-    def slow_step_fn(ph):
-        fn = orig(ph)
+    def slow_step_fn(ph, **kw):
+        fn = orig(ph, **kw)
 
         def wrapped(*a):
             time.sleep(1.0)  # > stall_timeout_s: watchdog fires mid-step
@@ -335,8 +363,8 @@ def test_stall_orbax_backend_falls_back_to_local_npz_dump(data_dir):
     tr = Trainer(tc, cfg)
     orig = tr._step_fn
 
-    def slow_step_fn(ph):
-        fn = orig(ph)
+    def slow_step_fn(ph, **kw):
+        fn = orig(ph, **kw)
 
         def wrapped(*a):
             time.sleep(1.0)
@@ -374,8 +402,8 @@ def test_interrupt_saves_emergency_checkpoint(data_dir):
     orig = tr._step_fn
     calls = {"n": 0}
 
-    def interrupting_step_fn(ph):
-        fn = orig(ph)
+    def interrupting_step_fn(ph, **kw):
+        fn = orig(ph, **kw)
 
         def wrapped(*a):
             calls["n"] += 1
@@ -412,8 +440,8 @@ def test_stall_abort_interrupts_training(data_dir):
     tr = Trainer(tc, cfg)
     orig = tr._step_fn
 
-    def slow_step_fn(ph):
-        fn = orig(ph)
+    def slow_step_fn(ph, **kw):
+        fn = orig(ph, **kw)
 
         def wrapped(*a):
             time.sleep(5.0)

@@ -143,3 +143,56 @@ def test_donated_step_does_not_kill_caller_variables(batch):
     # caller's variables must still be alive and usable
     out = forward(variables, jnp.zeros((1, TINY.im_side, TINY.im_side, 3)), TINY)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_multi_step_scan_matches_sequential(batch):
+    """make_multi_train_step (K steps per dispatch via lax.scan) must be
+    semantically identical to K sequential make_train_step calls fed the
+    same per-step RNGs — incl. step counter, Adam state, BN moving stats
+    and dropout (exercised: batch-stats BN + dropout on)."""
+    from roomnet_tpu.train.step import make_multi_train_step
+
+    hp = TrainHParams(compute_bn_mean_var=True, update_bn_moving=True,
+                      dropout_enabled=True, dropout_rate=0.2)
+    variables = init_variables(jax.random.PRNGKey(1), TINY)
+    x1, y1 = batch
+    rng = np.random.RandomState(5)
+    K = 3
+    x_k = np.stack([x1] + [
+        rng.randint(0, 256, x1.shape, dtype=np.uint8) for _ in range(K - 1)
+    ])
+    y_k = np.stack([y1] + [
+        rng.randint(0, TINY.num_classes, y1.shape, dtype=np.int32)
+        for _ in range(K - 1)
+    ])
+    root = jax.random.PRNGKey(42)
+
+    state_seq = init_train_state(variables, hp)
+    step = jax.jit(make_train_step(hp, TINY))
+    rngs = jax.random.split(root, K)
+    for i in range(K):
+        state_seq, metrics_seq = step(state_seq, x_k[i], y_k[i], rngs[i])
+
+    state_scan = init_train_state(variables, hp)
+    multi = jax.jit(make_multi_train_step(hp, TINY))
+    state_scan, metrics_scan = multi(state_scan, x_k, y_k, root)
+
+    assert int(state_scan.step) == int(state_seq.step) == K
+    np.testing.assert_allclose(
+        float(metrics_scan["loss"]), float(metrics_seq["loss"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # Tolerance note: at K=1 the scan matches the standalone step to 1 ulp
+    # (measured 7e-9); over K steps XLA's different scheduling of the scan
+    # body accumulates float noise that Adam's 1/sqrt(v) normalization
+    # amplifies on near-zero-gradient elements (measured max 1.4e-4 at
+    # K=3). Semantic equivalence, not bitwise identity, is the contract.
+    for name, seq_d, scan_d in [
+        ("train", state_seq.train_vars, state_scan.train_vars),
+        ("frozen", state_seq.frozen_vars, state_scan.frozen_vars),
+    ]:
+        for k in seq_d:
+            np.testing.assert_allclose(
+                np.asarray(scan_d[k]), np.asarray(seq_d[k]),
+                atol=1e-3, rtol=0, err_msg=f"{name}:{k}",
+            )
