@@ -52,6 +52,7 @@ def cmd_train(args):
         seed=args.seed,
         restore_head=not args.fresh_head,
         ckpt_backend=args.ckpt_backend,
+        steps_per_call=args.steps_per_call,
         stall_timeout_s=args.stall_timeout,
         stall_abort=args.stall_abort,
         val_use_batch_stats={"phase": None, "batch": True, "moving": False}[args.val_bn],
@@ -267,6 +268,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--model-dir", default="all_trained_models/trained_models")
     t.add_argument("--img-side", type=int, default=224)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--steps-per-call", type=int, default=1,
+                   help="optimizer steps per device dispatch (lax.scan); "
+                        ">1 only helps genuinely dispatch-bound hosts "
+                        "(PERF.md round 3)")
     t.add_argument("--fresh-head", action="store_true",
                    help="exclude the dense head on restore (network.py:78)")
     t.add_argument("--curriculum", action="store_true",

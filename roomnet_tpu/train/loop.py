@@ -56,6 +56,10 @@ class TrainConfig:
     data_dir: str = "./data/REI-Dataset"
     train_list_fpath: str = "train_list.txt"
     val_list_fpath: str = "val_list.txt"
+    # None = written next to train_list_fpath. MUST be plumbed (round-3
+    # review): extract_fpaths' own cwd-relative default let test/dev runs
+    # from the repo root clobber the checked-in reference mapping.
+    label_mappings_fpath: str | None = None
     stats_fpath: str = "all_train_stats.json"
     model_dir: str = "all_trained_models/trained_models"
     img_side: int = 224
@@ -360,8 +364,12 @@ class Trainer:
     # -- main loop ------------------------------------------------------------
     def train(self, total_steps: int | None = None, log_every: int = 1):
         tc = self.tc
+        label_fpath = tc.label_mappings_fpath or os.path.join(
+            os.path.dirname(tc.train_list_fpath) or ".", "label_mappings.json"
+        )
         train_txt, val_txt = extract_fpaths(
-            tc.data_dir, tc.train_list_fpath, tc.val_list_fpath, seed=tc.seed
+            tc.data_dir, tc.train_list_fpath, tc.val_list_fpath, label_fpath,
+            seed=tc.seed,
         )
         state = self.init_state()
         start_step = int(state.step)
@@ -464,11 +472,24 @@ class Trainer:
 
         def fetch_next(k: int):
             """k host batches -> device. k==1 keeps the classic (B, ...)
-            shapes; k>1 stacks to (k, B, ...) for the scanned multi-step."""
+            shapes (shrunk batches tolerated via shape-keyed recompile);
+            k>1 stacks to (k, B, ...) for the scanned multi-step — every
+            batch is padded by row-cycling to the feeder's nominal size
+            first, because a partially-unreadable batch arrives shrunk
+            and np.stack needs uniform shapes (round-3 review)."""
             if k == 1:
                 x, y = fetch_host_batch()
                 return self._to_global(x), self._to_global(y)
-            pairs = [fetch_host_batch() for _ in range(k)]
+
+            def pad_rows(x, y, n):
+                if x.shape[0] >= n:
+                    return x[:n], y[:n]
+                idx = np.arange(n - x.shape[0]) % x.shape[0]
+                return (np.concatenate([x, x[idx]]),
+                        np.concatenate([y, y[idx]]))
+
+            n = train_reader.batch_size
+            pairs = [pad_rows(*fetch_host_batch(), n) for _ in range(k)]
             x = np.stack([p[0] for p in pairs])
             y = np.stack([p[1] for p in pairs])
             return (
@@ -555,9 +576,7 @@ class Trainer:
                         print(f"Validated at step {state.step}: "
                               f"acc {entry['accuracy']:.4f}")
                 k = window(it)
-                if pending is not None and pending[0] != k:
-                    pending = None  # prefetch built for a different window
-                x, y = pending[1:] if pending is not None else fetch_next(k)
+                x, y = pending if pending is not None else fetch_next(k)
                 pending = None
                 rng, sub = jax.random.split(rng)
                 t0 = time.perf_counter()
@@ -579,11 +598,16 @@ class Trainer:
                         # close the pause window while the compile runs.
                         float(metrics["loss"])
                         watchdog.resume()
-                # While the (async-dispatched) step runs, stage next batch.
-                if it + k < end_step:
-                    k_next = window(it + k)
-                    pending = (k_next, *fetch_next(k_next))
-                if it % log_every < k:
+                # While the (async-dispatched) step runs, stage the next
+                # window's batches — unless a batch-size phase boundary
+                # lands there (the rebuilt feeder would discard them).
+                if (it + k < end_step
+                        and phase_at(tc.phases, it + k).batch_size
+                        == ph.batch_size):
+                    pending = fetch_next(window(it + k))
+                # Log when a multiple of log_every falls INSIDE this
+                # window [it, it+k) — (-it) % log_every is its offset.
+                if (-it) % log_every < k:
                     # float() forces completion — only then is the heartbeat
                     # meaningful (dispatch alone returns even off a wedged
                     # device session).

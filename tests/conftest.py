@@ -35,6 +35,21 @@ GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
 ARTIFACTS = pathlib.Path(__file__).parent.parent / "artifacts"
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _protect_repo_label_mappings():
+    """The checked-in reference label_mappings.json was once clobbered by
+    a test run (extract_fpaths' old cwd-relative default). Fail the
+    session loudly if any test writes it again."""
+    p = pathlib.Path(__file__).parent.parent / "label_mappings.json"
+    before = p.read_bytes() if p.exists() else None
+    yield
+    after = p.read_bytes() if p.exists() else None
+    assert before == after, (
+        "a test overwrote the repo's checked-in label_mappings.json — "
+        "pass an explicit label_mappings_fpath"
+    )
+
+
 @pytest.fixture(scope="session")
 def forward_golden():
     return dict(np.load(GOLDEN_DIR / "forward_golden.npz"))

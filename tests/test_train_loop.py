@@ -64,6 +64,13 @@ def test_trainer_end_to_end_and_resume(data_dir):
     assert len(ckpts) >= 2
     assert all(c.startswith("roomnet--") for c in ckpts)
 
+    # label mapping written NEXT TO the list files, never into the cwd
+    # (round-3 review: a cwd-relative default once clobbered the repo's
+    # checked-in reference mapping)
+    assert os.path.exists(
+        os.path.join(os.path.dirname(tc.train_list_fpath), "label_mappings.json")
+    )
+
     # resume: a fresh Trainer continues from the latest step
     state2 = Trainer(tc, cfg).train(total_steps=3, log_every=100)
     assert int(state2.step) > 11
@@ -110,7 +117,8 @@ def test_trainer_refuses_fully_unreadable_dataset(data_dir, tmp_path):
     )
     from roomnet_tpu.data.dataset import extract_fpaths
 
-    extract_fpaths(tc.data_dir, tc.train_list_fpath, tc.val_list_fpath)
+    extract_fpaths(tc.data_dir, tc.train_list_fpath, tc.val_list_fpath,
+                   str(tmp_path / "labels.json"))
     for cls in ("Kitchen", "Bedroom"):
         for p in (data_dir / "data" / cls).iterdir():
             p.write_text("corrupted")
