@@ -209,6 +209,28 @@ def test_trainer_with_data_parallel_mesh(data_dir):
     assert int(state.step) == 4
 
 
+def test_trainer_multi_step_with_dp_mesh(data_dir):
+    """steps_per_call>1 over a DP mesh: the (K, batch, ...) stack shards
+    batch on 'data' with the scan axis unsharded (P(None, 'data'))."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=8),)),
+        model_dir=str(data_dir / "models_dp_scan"),
+        stats_fpath=str(data_dir / "stats_dp_scan.json"),
+        steps_per_call=3,
+    )
+    state = Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(total_steps=6, log_every=1)
+    assert int(state.step) == 6
+
+
 def test_trainer_dp_rounds_indivisible_batch(data_dir):
     """Reference batch sizes (45, 6, ...) aren't multiples of the data axis;
     the Trainer rounds them so P('data') sharding is valid instead of
