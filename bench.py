@@ -228,9 +228,12 @@ def main():
         # max_inflight=64: the concurrent segment below drives a 64-way
         # burst to measure micro-batching throughput; the default admission
         # cap (4x batch) would shed half of it with 429s by design.
+        # warmup=True: the bucketed worker uses one jit signature per
+        # power-of-2 batch (1/2/4/8); without precompiling them the timed
+        # burst would pay fresh compiles (minutes, cold cache) and 504.
         srv = ClassifierServer(
             RoomNetClassifier(variables, cfg, batch_size=8), port=0,
-            max_inflight=64,
+            max_inflight=64, warmup=True,
         ).start()
         # Self-contained request image (independent of the e2e segment).
         img_path = os.path.join(tempfile.mkdtemp(prefix="bench_srv_"), "req.jpg")

@@ -99,12 +99,21 @@ class ClassifierServer:
 
     # -- device worker: micro-batches pending requests ----------------------
     def _compute_buckets(self):
-        """Device-call batch shapes: powers of two up to the classifier's
-        batch size. Padding every call to the FULL batch ships batch_size
-        x 150 KB through the host->device link per lone request (1.2 MB at
-        batch 8 — ~35 ms at this relay's 34 MB/s); bucketing pads at most
-        2x while keeping the jit-signature count log2(max_batch)."""
-        b, out = 1, []
+        """Device-call batch shapes: power-of-2 multiples of the smallest
+        legal batch, up to the classifier's batch size. Padding every call
+        to the FULL batch ships batch_size x 150 KB through the
+        host->device link per lone request (1.2 MB at batch 8 — ~35 ms at
+        this relay's 34 MB/s); bucketing pads at most 2x while keeping the
+        jit-signature count log2(max_batch).
+
+        Mesh-backed classifiers shard the batch dim over 'data'
+        (in_shardings=P('data')), which requires divisibility — so the
+        smallest bucket is the data-axis size, not 1."""
+        base = 1
+        mesh = getattr(self.classifier, "mesh", None)
+        if mesh is not None:
+            base = int(mesh.shape.get("data", 1))
+        b, out = base, []
         while b < self.classifier.batch_size:
             out.append(b)
             b *= 2
@@ -333,18 +342,27 @@ class ClassifierServer:
                     length = int(self.headers.get("Content-Length", 0))
                     try:
                         payload = json.loads(self.rfile.read(length))
-                        bodies = [base64.b64decode(s) for s in payload["images"]]
+                        images = payload["images"]
+                        assert isinstance(images, list)
                     except Exception:
                         self._send(400, {"error": "body must be JSON "
                                                   '{"images": [base64, ...]}'})
                         return
-                    if not bodies:
+                    if not images:
                         self._send(200, {"results": []})
                         return
-                    if len(bodies) > server_self.max_inflight:
+                    # Size cap BEFORE any base64 work: rejection must be
+                    # cheap — decoding 10k blobs just to answer 413 defeats
+                    # the shed-load-fast design.
+                    if len(images) > server_self.max_inflight:
                         self._send(413, {
                             "error": f"too many images "
                                      f"(max {server_self.max_inflight})"})
+                        return
+                    try:
+                        bodies = [base64.b64decode(s) for s in images]
+                    except Exception:
+                        self._send(400, {"error": "invalid base64 image"})
                         return
                     out = server_self._run_job(bodies)
                 if out == "overloaded":

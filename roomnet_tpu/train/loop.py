@@ -124,6 +124,16 @@ class TrainConfig:
         )
 
 
+def _cycle_pad(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad (or trim) axis 0 to exactly n rows by cycling existing rows —
+    the one row-padding rule shared by the mesh-divisibility guard and
+    the multi-step batch stacker."""
+    if a.shape[0] >= n:
+        return a[:n]
+    idx = np.arange(n - a.shape[0]) % a.shape[0]
+    return np.concatenate([a, a[idx]], axis=0)
+
+
 def phase_at(phases: tuple[Phase, ...], step: int) -> Phase:
     for ph in phases:
         if step < ph.until_step:
@@ -219,12 +229,11 @@ class Trainer:
         rem = x.shape[0] % n
         if rem == 0:
             return (x, y) if y is not None else x
-        pad = n - rem
-        idx = np.arange(pad) % x.shape[0]
-        x = np.concatenate([x, x[idx]], axis=0)
+        target = x.shape[0] + (n - rem)
+        x = _cycle_pad(x, target)
         if y is None:
             return x
-        return x, np.concatenate([y, y[idx]], axis=0)
+        return x, _cycle_pad(y, target)
 
     def _mesh_batch(self, batch_size: int) -> int:
         """Round a batch size UP to a multiple of the mesh's 'data' axis —
@@ -434,8 +443,16 @@ class Trainer:
                     f"via CheckpointStore.load"
                 )
 
+        self._stall_aborting = False
+
         def _on_stall(info):
             if tc.stall_abort:
+                # Flag BEFORE interrupting: the main loop's interrupt
+                # handler must not attempt its own emergency save — that
+                # is a device_get against the very session the stall
+                # detector suspects is wedged, and it would sequence the
+                # abort behind a potentially ~40-min hang.
+                self._stall_aborting = True
                 import _thread
 
                 _thread.interrupt_main()
@@ -481,15 +498,12 @@ class Trainer:
                 x, y = fetch_host_batch()
                 return self._to_global(x), self._to_global(y)
 
-            def pad_rows(x, y, n):
-                if x.shape[0] >= n:
-                    return x[:n], y[:n]
-                idx = np.arange(n - x.shape[0]) % x.shape[0]
-                return (np.concatenate([x, x[idx]]),
-                        np.concatenate([y, y[idx]]))
-
             n = train_reader.batch_size
-            pairs = [pad_rows(*fetch_host_batch(), n) for _ in range(k)]
+
+            def pad_rows(x, y):
+                return _cycle_pad(x, n), _cycle_pad(y, n)
+
+            pairs = [pad_rows(*fetch_host_batch()) for _ in range(k)]
             x = np.stack([p[0] for p in pairs])
             y = np.stack([p[1] for p in pairs])
             return (
@@ -629,12 +643,17 @@ class Trainer:
                           f"learn_rate = {lr:.3e} ({dt * 1e3:.1f} ms)")
                 it += k
         except KeyboardInterrupt:
-            # Interrupt (Ctrl-C, stall_abort escalation, SIGTERM/preemption):
-            # save the last COMPLETED state before propagating — a merely-
-            # dispatched `state` may be donated/deleted or stuck on a wedged
-            # device, so use the _live_state copy (same rule as the stall
-            # path). Without this, an eviction drops up to save_freq steps.
-            _emergency_save(self._live_state, "interrupt")
+            # Interrupt (Ctrl-C, SIGTERM/preemption): save the last
+            # COMPLETED state before propagating — a merely-dispatched
+            # `state` may be donated/deleted or stuck on a wedged device,
+            # so use the _live_state copy (same rule as the stall path).
+            # Without this, an eviction drops up to save_freq steps.
+            # EXCEPT when the interrupt came from the stall escalation:
+            # the watchdog thread already saved this state, and a second
+            # device_get here would block the abort on the suspected-
+            # wedged session.
+            if not self._stall_aborting:
+                _emergency_save(self._live_state, "interrupt")
             raise
         finally:
             if old_sigterm is not None:

@@ -59,7 +59,14 @@ def valset_subsample(tmp_path_factory, golden):
     """192 deterministic images: the 64 logits-sample indices + 128 more,
     regenerated in O(subset) via per-image RNG."""
     valset = _valset_mod()
-    fixed = set(int(i) for i in golden["logits_sample_idx"]) | {0}
+    # A fixture built with documentation crops (kinds 11-12) cannot be
+    # regenerated identically without /root/reference/documentation —
+    # skip loudly rather than reporting phantom parity mismatches.
+    if (int(golden.get("used_doc_pngs", np.int8(1)))
+            and not valset.doc_dir_available()):
+        pytest.skip("fixture was built with reference documentation crops; "
+                    "that directory is unavailable here")
+    fixed = set(int(i) for i in golden["logits_sample_idx"]) | {0, 11}
     rng = np.random.RandomState(42)
     rest = rng.choice(
         np.setdiff1d(np.arange(valset.N_IMAGES), sorted(fixed)),
@@ -68,12 +75,17 @@ def valset_subsample(tmp_path_factory, golden):
     idx = np.array(sorted(fixed | set(int(i) for i in rest)))
     d = str(tmp_path_factory.mktemp("valset"))
     paths = valset.build_valset_jpegs(d, indices=idx.tolist())
-    # Encoder-drift guard: the fixture pins image 0's JPEG bytes. A changed
-    # libjpeg would silently shift every decoded pixel; fail loudly instead.
+    # Drift guards: image 0 pins the JPEG encoder + procedural generator;
+    # image 11 (first doc crop) pins the external reference-PNG content.
     want_sha = bytes(golden["first_jpeg_sha256"]).hex()
     assert valset.first_image_sha256(paths) == want_sha, (
         "JPEG encoder drifted — regenerate the valset fixture"
     )
+    if "doc_jpeg_sha256" in golden:
+        p11 = paths[idx.tolist().index(11)]
+        assert valset.file_sha256(p11) == bytes(golden["doc_jpeg_sha256"]).hex(), (
+            "reference documentation PNGs changed — regenerate the fixture"
+        )
     return idx, paths
 
 

@@ -153,6 +153,11 @@ def make_valset_golden():
     tmp = tempfile.mkdtemp(prefix="valset_golden_")
     paths = valset.build_valset_jpegs(tmp)
     sha = valset.first_image_sha256(paths)
+    # Image 11 is the first documentation-crop (kind 11): its sha pins the
+    # EXTERNAL content dependency (reference doc PNGs), which image 0's
+    # purely-procedural sha cannot (round-3 review finding).
+    doc_sha = valset.file_sha256(paths[11])
+    used_docs = valset.doc_dir_available()
     pixel_sets = {"cv2": valset.decode_cv2(paths)}
     native_px = valset.decode_native(paths)
     if native_px is not None:
@@ -162,7 +167,11 @@ def make_valset_golden():
               f"mean {delta.mean():.4f}")
 
     graph = tf.Graph()
-    out = {"first_jpeg_sha256": np.frombuffer(bytes.fromhex(sha), np.uint8)}
+    out = {
+        "first_jpeg_sha256": np.frombuffer(bytes.fromhex(sha), np.uint8),
+        "doc_jpeg_sha256": np.frombuffer(bytes.fromhex(doc_sha), np.uint8),
+        "used_doc_pngs": np.asarray(int(used_docs), np.int8),
+    }
     with graph.as_default():
         saver = tf.train.import_meta_graph(REF_CKPT + ".meta")
         x_ph = graph.get_tensor_by_name("input_x_tensor:0")

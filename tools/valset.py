@@ -92,6 +92,20 @@ def first_image_sha256(paths: list[str]) -> str:
         return hashlib.sha256(f.read()).hexdigest()
 
 
+def file_sha256(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def doc_dir_available() -> bool:
+    """True when the reference documentation PNGs (kinds 11-12, ~230 of
+    the 1839 images) can be sourced. A fixture built WITH them cannot be
+    regenerated identically without them — callers must check instead of
+    letting those indices silently fall through to the gradient branch."""
+    d = "/root/reference/documentation"
+    return os.path.isdir(d) and any(p.endswith(".png") for p in os.listdir(d))
+
+
 def decode_cv2(paths: list[str], im_side: int = 224) -> np.ndarray:
     """The classifier's cv2 preprocess path: center-crop -> INTER_LINEAR
     resize -> BGR uint8. Uses the classifier's OWN crop function so the
