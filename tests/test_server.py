@@ -363,6 +363,30 @@ def test_abandoned_jobs_never_reach_the_device():
         srv.stop()
 
 
+def test_mesh_backed_server_buckets_stay_shardable():
+    """A DP-mesh classifier shards the batch dim (P('data')): device-call
+    buckets must be multiples of the data axis or every lone request
+    would 503 on the sharding divisibility check (round-3 review)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(11), TINY), TINY,
+        batch_size=16, class_labels=LABELS4, mesh=make_mesh(8, 1),
+    )
+    srv = ClassifierServer(clf, port=0)
+    assert srv._bucket_sizes == [8, 16]
+    srv.start()
+    try:
+        status, out = _post(srv, "/classify", _img_bytes())
+        assert status == 200 and out["label"] in LABELS4
+    finally:
+        srv.stop()
+
+
 def test_warmup_compiles_before_serving():
     clf = RoomNetClassifier(
         init_variables(jax.random.PRNGKey(2), TINY), TINY,
