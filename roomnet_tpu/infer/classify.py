@@ -269,7 +269,25 @@ def classify_im_dir(
         dst_dir = os.path.join(out_dir, pred_label)
         fname = os.path.basename(fpath)
         if overlay:
+            # The prediction path may have decoded this file with the native
+            # C++ backend; cv2 can still fail here (e.g. a JPEG variant
+            # libjpeg accepts but cv2's build doesn't). The file IS
+            # classified — fall back to a raw copy instead of crashing,
+            # mirroring the reference's overlay=False branch (infer.py:94).
             im = cv2.imread(fpath)
+            if im is None:
+                import warnings
+
+                warnings.warn(
+                    f"overlay skipped for {fpath}: cv2 could not re-read it; "
+                    "copied unannotated", stacklevel=2,
+                )
+                shutil.copy(fpath, dst_dir)
+                sheet.write(i + 1, 0, fname)
+                sheet.write(i + 1, 1, pred_label)
+                sheet.write(i + 1, 2, str(pred_conf))
+                csv_writer.writerow([fname, pred_label, pred_conf])
+                continue
             h, w = im.shape[:2]
             # Same overlay text/placement as infer.py:89-92.
             cv2.putText(im, "Predicted Class: " + pred_label,

@@ -160,6 +160,54 @@ def test_classifier_sharded_over_mesh(tmp_path):
     np.testing.assert_allclose(confs_a, confs_b, rtol=1e-5, atol=1e-6)
 
 
+def test_overlay_falls_back_to_copy_when_cv2_cannot_reread(
+    classifier, tmp_path, monkeypatch
+):
+    """A file the prediction path decoded (e.g. via the native JPEG backend)
+    that cv2.imread can't re-read at overlay time must be copied
+    unannotated with a warning — not crash with AttributeError on
+    im.shape (round-3 review weak item #4; reference anchor infer.py:87-95).
+
+    Simulated by failing cv2.imread for one path AFTER prediction ran —
+    exactly the native-decodes/cv2-doesn't asymmetry."""
+    d = str(tmp_path / "imgs")
+    paths = _write_images(d, 3)
+    victim = paths[1]
+    real_imread = cv2.imread
+    armed = {"on": False}  # arm only AFTER prediction decode succeeded
+
+    def flaky_imread(p, *a, **kw):
+        if armed["on"] and os.path.abspath(p) == os.path.abspath(victim):
+            return None
+        return real_imread(p, *a, **kw)
+
+    real_predict = classifier.predict_paths
+
+    def predict_then_arm(fpaths):
+        out = real_predict(fpaths)
+        armed["on"] = True
+        return out
+
+    monkeypatch.setattr(cv2, "imread", flaky_imread)
+    monkeypatch.setattr(classifier, "predict_paths", predict_then_arm)
+    with pytest.warns(UserWarning, match="overlay skipped"):
+        xl = classify_im_dir(classifier, d, overlay=True, progress=False)
+    out_dir = d.rstrip(os.sep) + "_classified"
+    binned = {}
+    for lbl in LABELS4:
+        for f in os.listdir(os.path.join(out_dir, lbl)):
+            binned[f] = os.path.join(out_dir, lbl, f)
+    # all three images landed in class dirs; the victim is a byte-identical
+    # raw copy (unannotated), the others are annotated (pixels differ)
+    assert sorted(binned) == sorted(os.path.basename(p) for p in paths)
+    victim_out = binned[os.path.basename(victim)]
+    assert open(victim_out, "rb").read() == open(victim, "rb").read()
+    # and the xls still carries every row
+    cells = read_labels_biff2(xl)
+    names = {cells[(r, 0)] for (r, c) in cells if r > 0 and c == 0}
+    assert names == {os.path.basename(p) for p in paths}
+
+
 def test_classify_im_dir_writes_csv_twin(classifier, tmp_path):
     import csv as csvmod
 
