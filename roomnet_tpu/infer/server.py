@@ -29,6 +29,14 @@ requests at `max_inflight`; beyond it the server sheds load FAST with
 429 + Retry-After instead of letting work pile into 30 s timeouts, and
 request decode (cv2) runs on a bounded pool instead of per-request handler
 threads, so a burst can't fork unbounded CPU work on a small host.
+
+Timeout budgets (round-3 review item #9): every request carries a
+deadline stamped at admission — `request_timeout_s`, or a smaller
+client-supplied `X-Timeout-Seconds` header. Decode and queue time spend
+the budget (the handler's wait is the REMAINING budget, not a fresh flat
+timeout), and the device worker drops queued jobs whose deadline already
+passed, so an overloaded queue answers 504 on time and never burns device
+work on answers nobody will read.
 """
 
 from __future__ import annotations
@@ -48,9 +56,9 @@ class _Job:
     row). Single requests carry 1 image; /classify_batch carries N. The
     worker fills `results` (per-image dict or None) and sets `event`."""
 
-    __slots__ = ("images", "event", "results", "error", "abandoned")
+    __slots__ = ("images", "event", "results", "error", "abandoned", "deadline")
 
-    def __init__(self, images):
+    def __init__(self, images, deadline: float = float("inf")):
         self.images = images
         self.event = threading.Event()
         self.results = [None] * len(images)
@@ -59,6 +67,10 @@ class _Job:
         # the worker skips abandoned jobs so zombie work can't consume
         # device time behind freshly admitted requests.
         self.abandoned = False
+        # Absolute monotonic deadline, stamped at ADMISSION: decode and
+        # queue time spend the request's budget, and the worker drops jobs
+        # already past it (their client is getting a 504 regardless).
+        self.deadline = deadline
 
 
 class ClassifierServer:
@@ -91,7 +103,12 @@ class ClassifierServer:
         self._decode_pool = ThreadPoolExecutor(
             max_workers=decode_workers or min(4, (os.cpu_count() or 1) * 2)
         )
-        self._jobs: queue.Queue[_Job] = queue.Queue(maxsize=self.max_inflight)
+        # Unbounded on purpose: admission (the image-weighted semaphore
+        # above) is the SINGLE source of truth for in-flight accounting. A
+        # bounded queue double-counted: a 504'd job kept its queue slot
+        # while its semaphore slots were released, so fresh requests could
+        # hit queue.Full and 429 with capacity free (round-3 advisor).
+        self._jobs: queue.Queue[_Job] = queue.Queue()
         self._bucket_sizes = self._compute_buckets()
         self._stop = threading.Event()
         self._httpd: ThreadingHTTPServer | None = None
@@ -144,10 +161,19 @@ class ClassifierServer:
             int(np.asarray(ids)[0])  # scalar fetch = real completion barrier
 
     def _worker(self):
+        import time
+
         from roomnet_tpu.utils.profiling import trace
 
         clf = self.classifier
         side = clf.cfg.im_side
+
+        def dead(j: _Job) -> bool:
+            # Abandoned (client got its 504) or past its deadline (client
+            # IS getting a 504): either way device time spent on it would
+            # only starve freshly admitted requests.
+            return j.abandoned or time.monotonic() > j.deadline
+
         while not self._stop.is_set():
             try:
                 first = self._jobs.get(timeout=0.2)
@@ -156,16 +182,14 @@ class ClassifierServer:
             # Coalesce whole jobs until the device batch is full. A job is
             # never split across coalescing rounds, but a large /classify_
             # batch job is chunked over several device calls below.
-            # Abandoned jobs (client already timed out with 504) are
-            # dropped here so zombie work never reaches the device.
-            batch_jobs = [] if first.abandoned else [first]
+            batch_jobs = [] if dead(first) else [first]
             total = len(first.images) if batch_jobs else 0
             while total < self.max_batch:
                 try:
                     j = self._jobs.get_nowait()
                 except queue.Empty:
                     break
-                if j.abandoned:
+                if dead(j):
                     continue
                 batch_jobs.append(j)
                 total += len(j.images)
@@ -234,13 +258,26 @@ class ClassifierServer:
         return np.ascontiguousarray(im)
 
     # -- request plumbing (admission -> decode -> device -> result) ---------
-    def _run_job(self, bodies: list[bytes]):
+    def _run_job(self, bodies: list[bytes], budget_s: float | None = None):
         """Decode on the bounded pool, enqueue one job, wait for results.
 
-        Returns (job, images) or the string "overloaded" when admission or
-        the queue sheds the request. Admission is weighted by image count:
-        a /classify_batch of N images takes N in-flight slots, so the
-        latency bound max_inflight implies holds regardless of batching."""
+        Returns (job, images) or the string "overloaded" when admission
+        sheds the request. Admission is weighted by image count: a
+        /classify_batch of N images takes N in-flight slots, so the
+        latency bound max_inflight implies holds regardless of batching.
+
+        budget_s: the request's timeout budget (client-supplied via
+        X-Timeout-Seconds, clamped to request_timeout_s). The deadline is
+        stamped HERE, at admission — decode and queue time spend the
+        budget, so a request answers (200 or 504) within ~budget_s of
+        arrival instead of budget_s after it finally reached the front of
+        the queue (round-3 review item #9)."""
+        import time
+
+        budget = self.request_timeout_s
+        if budget_s is not None and budget_s > 0:
+            budget = min(budget_s, self.request_timeout_s)
+        deadline = time.monotonic() + budget
         acquired = 0
         for _ in range(len(bodies)):
             if not self._admit.acquire(blocking=False):
@@ -250,13 +287,11 @@ class ClassifierServer:
             if acquired < len(bodies):
                 return "overloaded"
             images = list(self._decode_pool.map(self._preprocess, bodies))
-            job = _Job(images)
+            job = _Job(images, deadline=deadline)
             if any(im is not None for im in images):
-                try:
-                    self._jobs.put_nowait(job)
-                except queue.Full:
-                    return "overloaded"
-                if not job.event.wait(timeout=self.request_timeout_s):
+                self._jobs.put(job)
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not job.event.wait(timeout=remaining):
                     # Client gets 504; mark the job so the worker drops it
                     # instead of burning device time on an answer nobody
                     # will read (the admission slots released below must
@@ -311,13 +346,25 @@ class ClassifierServer:
                 else:
                     self._send(404, {"error": "not found"})
 
+            def _budget_s(self) -> float | None:
+                """Per-request timeout budget: X-Timeout-Seconds header,
+                clamped by _run_job to the server's request_timeout_s cap
+                (a client may ask for LESS time, never more)."""
+                raw = self.headers.get("X-Timeout-Seconds")
+                if raw is None:
+                    return None
+                try:
+                    return float(raw)
+                except ValueError:
+                    return None
+
             def _classify_single(self):
                 from roomnet_tpu.utils.profiling import trace
 
                 with trace("serve/request"):
                     length = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(length)
-                    out = server_self._run_job([body])
+                    out = server_self._run_job([body], budget_s=self._budget_s())
                 if out == "overloaded":
                     self._send_overloaded()
                     return
@@ -364,7 +411,7 @@ class ClassifierServer:
                     except Exception:
                         self._send(400, {"error": "invalid base64 image"})
                         return
-                    out = server_self._run_job(bodies)
+                    out = server_self._run_job(bodies, budget_s=self._budget_s())
                 if out == "overloaded":
                     self._send_overloaded()
                     return

@@ -363,6 +363,90 @@ def test_abandoned_jobs_never_reach_the_device():
         srv.stop()
 
 
+def _post_with_headers(server, path, body: bytes, headers: dict):
+    req = urllib.request.Request(
+        _url(server, path), data=body, method="POST", headers=headers
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_budget_expires_mid_queue(server=None):
+    """Per-request timeout budget (X-Timeout-Seconds): the deadline is
+    stamped at admission, so a job stuck BEHIND a slow device call 504s
+    within ~its budget of arrival — not budget-seconds after it finally
+    reached the queue front — and the worker never spends a device call
+    on it (round-3 review item #9)."""
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(13), TINY), TINY,
+        batch_size=1, class_labels=LABELS4,
+    )
+    real = clf._predict
+    real(clf.variables, np.zeros((1, TINY.im_side, TINY.im_side, 3), np.uint8))
+    calls = []
+
+    def slow(variables, batch):
+        calls.append(batch.shape[0])
+        time.sleep(1.0)
+        return real(variables, batch)
+
+    clf._predict = slow
+    # Server cap is generous (10 s): the FLAT-timeout bug would hold the
+    # queued request ~10 s; budget propagation answers it at ~0.4 s.
+    srv = ClassifierServer(clf, port=0, request_timeout_s=10.0).start()
+    try:
+        out = {}
+
+        def first():
+            out["first"] = _post(srv, "/classify", _img_bytes())
+
+        t1 = threading.Thread(target=first)
+        t1.start()
+        time.sleep(0.3)  # first request is now on the device (1.0 s call)
+        t0 = time.monotonic()
+        status, body = _post_with_headers(
+            srv, "/classify", _img_bytes(seed=1), {"X-Timeout-Seconds": "0.4"}
+        )
+        waited = time.monotonic() - t0
+        t1.join()
+        assert status == 504, (status, body)
+        assert waited < 2.0, waited  # ~0.4 s budget, NOT the 10 s flat cap
+        assert out["first"][0] == 200
+        time.sleep(1.5)  # drain window
+        # the expired job must never have reached the device
+        assert len(calls) == 1, calls
+    finally:
+        srv.stop()
+
+
+def test_budget_header_clamped_to_server_cap():
+    """A client may ask for LESS time than request_timeout_s, never more:
+    X-Timeout-Seconds above the cap behaves like the cap (the request
+    still completes normally when the device is fast)."""
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(15), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0, request_timeout_s=10.0).start()
+    try:
+        status, out = _post_with_headers(
+            srv, "/classify", _img_bytes(), {"X-Timeout-Seconds": "9999"}
+        )
+        assert status == 200 and out["label"] in LABELS4
+        # garbage header: ignored, server default applies
+        status, out = _post_with_headers(
+            srv, "/classify", _img_bytes(), {"X-Timeout-Seconds": "nonsense"}
+        )
+        assert status == 200 and out["label"] in LABELS4
+    finally:
+        srv.stop()
+
+
 def test_mesh_backed_server_buckets_stay_shardable():
     """A DP-mesh classifier shards the batch dim (P('data')): device-call
     buckets must be multiples of the data axis or every lone request
