@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import threading
 import time
 
 import jax
@@ -279,9 +280,15 @@ class Trainer:
 
                 spec = P(None, "data") if multi else P("data")
                 data = NamedSharding(self.mesh, spec)
+                # multi: a 5th arg — the (K, B) real-row mask, batch-sharded
+                # like y.
+                shardings = (
+                    (None, data, data, None, data) if multi
+                    else (None, data, data, None)
+                )
                 fn = jax.jit(
                     fn,
-                    in_shardings=(None, data, data, None),
+                    in_shardings=shardings,
                     out_shardings=None,
                     donate_argnums=(0,),
                 )
@@ -444,6 +451,12 @@ class Trainer:
                 )
 
         self._stall_aborting = False
+        # Set when the watchdog thread's stall save finishes: with
+        # stall_abort the main thread unwinds on the interrupt while the
+        # (daemon) watchdog thread is still device_get-ing the save —
+        # exiting immediately would kill it mid-write, so the interrupt
+        # handler below waits (bounded) on this event (round-3 advisor).
+        self._stall_save_done = threading.Event()
 
         def _on_stall(info):
             if tc.stall_abort:
@@ -457,7 +470,12 @@ class Trainer:
 
                 _thread.interrupt_main()
             if tc.stall_checkpoint:
-                _emergency_save(self._live_state, "stall")
+                try:
+                    _emergency_save(self._live_state, "stall")
+                finally:
+                    self._stall_save_done.set()
+            else:
+                self._stall_save_done.set()
 
         watchdog = (
             StepWatchdog(tc.stall_timeout_s, on_stall=_on_stall)
@@ -480,7 +498,9 @@ class Trainer:
             for _ in range(max(train_reader.batches_per_epoch, 1) + 1):
                 x, y = train_reader.dequeue()
                 if not train_reader.last_batch_synthetic:
-                    return self._pad_for_mesh(x, y)
+                    n_real = x.shape[0]  # before any row-cycling pad
+                    x, y = self._pad_for_mesh(x, y)
+                    return x, y, n_real
                 print("skipping synthetic batch (all files unreadable)")
             raise RuntimeError(
                 "every batch in a full epoch was unreadable — dataset files "
@@ -488,27 +508,31 @@ class Trainer:
             )
 
         def fetch_next(k: int):
-            """k host batches -> device. k==1 keeps the classic (B, ...)
-            shapes (shrunk batches tolerated via shape-keyed recompile);
-            k>1 stacks to (k, B, ...) for the scanned multi-step — every
-            batch is padded by row-cycling to the feeder's nominal size
-            first, because a partially-unreadable batch arrives shrunk
-            and np.stack needs uniform shapes (round-3 review)."""
+            """k host batches -> device; returns (x, y, row_mask_or_None).
+
+            k==1 keeps the classic (B, ...) shapes (shrunk batches
+            tolerated via shape-keyed recompile; mask None). k>1 stacks to
+            (k, B, ...) for the scanned multi-step — every batch is padded
+            by row-cycling to the feeder's nominal size first (np.stack
+            needs uniform shapes), and a (k, B) float mask marks the real
+            rows so padding contributes NO gradient weight — matching the
+            k==1 semantics where a shrunk batch trains only on real rows
+            (round-3 advisor)."""
             if k == 1:
-                x, y = fetch_host_batch()
-                return self._to_global(x), self._to_global(y)
+                x, y, _ = fetch_host_batch()
+                return self._to_global(x), self._to_global(y), None
 
             n = train_reader.batch_size
-
-            def pad_rows(x, y):
-                return _cycle_pad(x, n), _cycle_pad(y, n)
-
-            pairs = [pad_rows(*fetch_host_batch()) for _ in range(k)]
-            x = np.stack([p[0] for p in pairs])
-            y = np.stack([p[1] for p in pairs])
+            triples = [fetch_host_batch() for _ in range(k)]
+            x = np.stack([_cycle_pad(t[0], n) for t in triples])
+            y = np.stack([_cycle_pad(t[1], n) for t in triples])
+            mask = np.zeros((k, n), np.float32)
+            for j, t in enumerate(triples):
+                mask[j, : min(t[2], n)] = 1.0
             return (
                 self._to_global(x, leading_steps=True),
                 self._to_global(y, leading_steps=True),
+                self._to_global(mask, leading_steps=True),
             )
 
         end_step = start_step + total_steps
@@ -590,7 +614,7 @@ class Trainer:
                         print(f"Validated at step {state.step}: "
                               f"acc {entry['accuracy']:.4f}")
                 k = window(it)
-                x, y = pending if pending is not None else fetch_next(k)
+                x, y, mk = pending if pending is not None else fetch_next(k)
                 pending = None
                 rng, sub = jax.random.split(rng)
                 t0 = time.perf_counter()
@@ -602,7 +626,14 @@ class Trainer:
                 first_compile = sig not in self._invoked_sigs
                 if first_compile and watchdog:
                     watchdog.pause()
-                state, metrics = self._step_fn(ph, multi=k > 1)(state, x, y, sub)
+                if k > 1:
+                    state, metrics = self._step_fn(ph, multi=True)(
+                        state, x, y, sub, mk
+                    )
+                else:
+                    state, metrics = self._step_fn(ph, multi=False)(
+                        state, x, y, sub
+                    )
                 if first_compile:
                     self._invoked_sigs.add(sig)
                     if watchdog:
@@ -649,11 +680,21 @@ class Trainer:
             # so use the _live_state copy (same rule as the stall path).
             # Without this, an eviction drops up to save_freq steps.
             # EXCEPT when the interrupt came from the stall escalation:
-            # the watchdog thread already saved this state, and a second
+            # the watchdog thread is doing (or did) the save, and a second
             # device_get here would block the abort on the suspected-
-            # wedged session.
+            # wedged session. Wait BOUNDED for that (daemon) thread's save
+            # — exiting immediately would kill it mid-write. If the wait
+            # expires, the device really is wedged; say so instead of
+            # silently dropping the promised checkpoint.
             if not self._stall_aborting:
                 _emergency_save(self._live_state, "interrupt")
+            elif tc.stall_checkpoint and not self._stall_save_done.wait(
+                timeout=60.0
+            ):
+                print(
+                    "stall checkpoint still blocked on the wedged device "
+                    "session after 60 s — abandoning it (best-effort)"
+                )
             raise
         finally:
             if old_sigterm is not None:

@@ -86,7 +86,13 @@ def loss_fn(
     hp: TrainHParams,
     cfg: RoomNetConfig,
     rng,
+    row_mask=None,
 ):
+    """row_mask: optional float (B,) of 1.0 (real row) / 0.0 (padding).
+    Masked rows contribute zero CE gradient and the mean divides by the
+    real-row count — matching what a shrunk batch (no padding) computes.
+    BN batch statistics still see padded rows (documented residual
+    divergence of the steps_per_call>1 path)."""
     variables = schema.unflatten_jax({**train_vars, **frozen_vars}, cfg)
     dropout_rate = hp.dropout_rate if hp.dropout_enabled else None
     out = forward(
@@ -106,7 +112,12 @@ def loss_fn(
         hp.l2_coeff * 0.5 * jnp.sum(jnp.square(v.astype(jnp.float32)))
         for v in train_vars.values()
     )
-    loss = jnp.mean(ce) + l2
+    if row_mask is None:
+        ce_mean = jnp.mean(ce)
+    else:
+        m = row_mask.astype(ce.dtype)
+        ce_mean = jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+    loss = ce_mean + l2
     return loss, (logits, bn_stats)
 
 
@@ -125,11 +136,11 @@ def make_train_step(
         hp.adam_eps,
     )
 
-    def step_fn(state: TrainState, x_bgr_uint8, y, rng):
+    def step_fn(state: TrainState, x_bgr_uint8, y, rng, row_mask=None):
         x_norm = normalize_bgr_uint8(x_bgr_uint8)
         (loss, (logits, bn_stats)), grads = jax.value_and_grad(
             loss_fn, argnums=0, has_aux=True
-        )(state.train_vars, state.frozen_vars, x_norm, y, hp, cfg, rng)
+        )(state.train_vars, state.frozen_vars, x_norm, y, hp, cfg, rng, row_mask)
         # step=state.step: the schedule follows the restored global step, not
         # Adam's moment count (they diverge after a params-only restore), so
         # the applied LR and metrics["learn_rate"] share one clock.
@@ -145,10 +156,16 @@ def make_train_step(
             updated = update_moving_stats(merged, bn_stats, cfg.bn_momentum)
             _, frozen_vars = schema.partition_flat(schema.flatten_jax(updated))
         lr = exponential_decay(hp.learn_rate, hp.num_steps)(state.step)
+        hits = (jnp.argmax(logits, -1) == y).astype(jnp.float32)
+        if row_mask is None:
+            acc = jnp.mean(hits)
+        else:
+            m = row_mask.astype(jnp.float32)
+            acc = jnp.sum(hits * m) / jnp.maximum(jnp.sum(m), 1.0)
         metrics = {
             "loss": loss,
             "learn_rate": lr,
-            "accuracy": jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32)),
+            "accuracy": acc,
         }
         return (
             TrainState(
@@ -177,21 +194,32 @@ def make_multi_train_step(
     K sequential `make_train_step` calls fed the same per-step RNGs
     (pinned by test_train_step).
 
-    Returns multi_step(state, x[K,B,S,S,3] uint8, y[K,B], rng) ->
-    (state, metrics) where metrics are the LAST step's (matching what a
-    sequential loop would print) plus `mean_loss` over the call. K is
-    taken from the input shape — one compile per distinct K.
+    Returns multi_step(state, x[K,B,S,S,3] uint8, y[K,B], rng,
+    row_mask[K,B]=None) -> (state, metrics) where metrics are the LAST
+    step's (matching what a sequential loop would print) plus `mean_loss`
+    over the call. K is taken from the input shape — one compile per
+    distinct K.
+
+    row_mask (float 1.0/0.0): marks rows the feeder cycle-padded onto a
+    partially-unreadable batch. Masked rows are excluded from the CE mean
+    and gradient — matching steps_per_call=1, where a shrunk batch trains
+    only on real rows. Residual divergence: BN batch statistics (when
+    compute_bn_mean_var) still see padded rows.
     """
     step_fn = make_train_step(hp, cfg)
 
-    def multi_step_fn(state: TrainState, x_k, y_k, rng):
+    def multi_step_fn(state: TrainState, x_k, y_k, rng, row_mask_k=None):
         rngs = jax.random.split(rng, x_k.shape[0])
 
         def body(carry, inp):
-            x, y, r = inp
-            return step_fn(carry, x, y, r)
+            x, y, r, m = inp
+            return step_fn(carry, x, y, r, row_mask=m)
 
-        state, metrics_k = jax.lax.scan(body, state, (x_k, y_k, rngs))
+        if row_mask_k is None:
+            row_mask_k = jnp.ones(y_k.shape, jnp.float32)
+        state, metrics_k = jax.lax.scan(
+            body, state, (x_k, y_k, rngs, row_mask_k)
+        )
         metrics = {k: v[-1] for k, v in metrics_k.items()}
         metrics["mean_loss"] = jnp.mean(metrics_k["loss"])
         return state, metrics

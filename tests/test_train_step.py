@@ -196,3 +196,49 @@ def test_multi_step_scan_matches_sequential(batch):
                 np.asarray(scan_d[k]), np.asarray(seq_d[k]),
                 atol=1e-3, rtol=0, err_msg=f"{name}:{k}",
             )
+
+
+def test_multi_step_row_mask_matches_shrunk_batch(batch):
+    """A partially-unreadable batch is cycle-padded to the nominal size for
+    the (K, B, ...) stack; with the row mask the padded duplicates must
+    contribute ZERO gradient weight — the update must match running the
+    SHRUNK batch through the single-step path (round-3 advisor: the
+    unmasked path gave duplicated rows gradient weight, diverging from
+    steps_per_call=1 semantics). Frozen-BN phase: with batch-stats BN the
+    padded rows still enter BN statistics (documented residual)."""
+    from roomnet_tpu.train.step import make_multi_train_step
+
+    hp = TrainHParams()  # final-phase: frozen BN, no dropout
+    variables = init_variables(jax.random.PRNGKey(1), TINY)
+    x1, y1 = batch
+    B = x1.shape[0]
+    n_real = B - 2
+    root = jax.random.PRNGKey(42)
+    rngs = jax.random.split(root, 2)
+
+    # Sequential truth: full batch, then the SHRUNK batch (real rows only).
+    state_seq = init_train_state(variables, hp)
+    step = jax.jit(make_train_step(hp, TINY))
+    state_seq, _ = step(state_seq, x1, y1, rngs[0])
+    state_seq, metrics_seq = step(state_seq, x1[:n_real], y1[:n_real], rngs[1])
+
+    # Scan: second batch cycle-padded back to B, padding masked out.
+    idx = np.concatenate([np.arange(n_real), np.arange(B - n_real) % n_real])
+    x_k = np.stack([x1, x1[:n_real][idx]])
+    y_k = np.stack([y1, y1[:n_real][idx]])
+    mask = np.ones((2, B), np.float32)
+    mask[1, n_real:] = 0.0
+    state_scan, metrics_scan = jax.jit(make_multi_train_step(hp, TINY))(
+        init_train_state(variables, hp), x_k, y_k, root, mask
+    )
+
+    np.testing.assert_allclose(
+        float(metrics_scan["loss"]), float(metrics_seq["loss"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    for k in state_seq.train_vars:
+        np.testing.assert_allclose(
+            np.asarray(state_scan.train_vars[k]),
+            np.asarray(state_seq.train_vars[k]),
+            atol=1e-3, rtol=0, err_msg=k,
+        )
