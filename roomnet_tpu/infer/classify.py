@@ -129,23 +129,37 @@ class RoomNetClassifier:
         Unreadable files get id -1 / conf 0. The final ragged batch is padded
         to batch_size (static shapes for XLA) and trimmed after.
 
-        Pipelining (3 stages deep, round-2 review item #2): the orchestrator
-        thread decodes batch i+2 AND starts its host->device transfer
-        (jax.device_put is async); the main thread dispatches the device
-        call for batch i+1 BEFORE fetching batch i's results, so the
-        result round-trip (~1 s over a remote relay) overlaps the next
-        batch's compute instead of serializing after it. ids+probs come
-        back in ONE device_get per batch.
+        Pipelining (round-3 review item #1 restructure): three dedicated
+        single-worker stages — decode(i+2) ∥ device_put(i+1) ∥ dispatch(i)
+        — so a device_put that BLOCKS for the transfer duration (it does
+        under a remote relay) steals no time from decode; a semaphore
+        bounds resident host batches. Results ACCUMULATE on device (a few
+        KB per batch) and come back in ONE device_get at the end: the
+        per-batch result fetch of the old design paid a full relay round
+        trip per batch on the main thread, serializing against dispatch.
+        Per-stage wall time lands in utils/profiling.SPANS under e2e/*
+        (decode, device_put, dispatch, fetch, wait_decode, wait_put) —
+        bench.py emits the breakdown so the bottleneck stage is visible
+        per run.
         """
+        import threading
+
+        from roomnet_tpu.utils.profiling import trace
+
         n = len(fpaths)
         ids = np.full(n, -1, np.int64)
         confs = np.zeros((n, len(self.class_labels)), np.float32)
         bs = self.batch_size
         with ThreadPoolExecutor(max_workers=self.decode_workers) as pool, \
-                ThreadPoolExecutor(max_workers=1) as orchestrator:
+                ThreadPoolExecutor(max_workers=1) as decoder, \
+                ThreadPoolExecutor(max_workers=1) as putter:
             from roomnet_tpu.data import native
 
             use_native_batch = native.available()
+            # Backpressure: at most this many batches decoded-but-not-yet-
+            # dispatched (each holds a bs×side²×3 host buffer; the put'ed
+            # twin lives on device until its compute consumes it).
+            depth = threading.Semaphore(3)
 
             def decode_batch(start):
                 idxs = list(range(start, min(start + bs, n)))
@@ -172,7 +186,7 @@ class RoomNetClassifier:
                     # Per-image cv2 retry for files the native decoder can't
                     # read (it is JPEG/PNG-only) — backend presence must not
                     # change which images get classified. Retries run on the
-                    # decode pool, not serially on the orchestrator thread.
+                    # decode pool, not serially on the decoder thread.
                     ims = [batch[k] if ok_mask[k] else None for k in range(m)]
                     failed = [k for k in range(m) if not ok_mask[k]]
                     if failed:
@@ -190,35 +204,48 @@ class RoomNetClassifier:
                 full = np.zeros((bs, self.cfg.im_side, self.cfg.im_side, 3),
                                 np.uint8)
                 full[: len(kept)] = np.stack(kept)
-                # Start the host->device DMA here, off the main thread:
-                # device_put returns immediately and the copy overlaps both
-                # the in-flight device call and the pending result fetch.
-                return ok, len(kept), jax.device_put(full, self._x_sharding)
+                return ok, len(kept), full
 
-            def drain(entry):
-                ok, n_kept, pred_dev, probs_dev = entry
-                # One synchronous transfer for both outputs.
-                pred, probs = jax.device_get((pred_dev, probs_dev))
-                ids[ok] = pred[:n_kept]
-                confs[ok] = probs[:n_kept]
+            def stage_decode(start):
+                depth.acquire()
+                with trace("e2e/decode"):
+                    ok, n_kept, full = decode_batch(start)
+                if full is None:
+                    return ok, 0, None
 
-            fut = orchestrator.submit(decode_batch, 0) if n else None
-            start = bs
-            pending = None  # batch whose device call is in flight
-            while fut is not None:
-                ok, n_kept, x_dev = fut.result()
-                fut = orchestrator.submit(decode_batch, start) if start < n else None
-                start += bs
-                # Dispatch BEFORE fetching the previous batch's results.
-                cur = None
-                if x_dev is not None:
-                    pred_dev, probs_dev = self._predict(self.variables, x_dev)
-                    cur = (ok, n_kept, pred_dev, probs_dev)
-                if pending is not None:
-                    drain(pending)
-                pending = cur
-            if pending is not None:
-                drain(pending)
+                def put():
+                    with trace("e2e/device_put"):
+                        return jax.device_put(full, self._x_sharding)
+
+                return ok, n_kept, putter.submit(put)
+
+            stage_futs = [
+                decoder.submit(stage_decode, s) for s in range(0, n, bs)
+            ]
+            entries = []  # (ok, n_kept, pred_dev, probs_dev) — fetched once
+            for fut in stage_futs:
+                with trace("e2e/wait_decode"):
+                    ok, n_kept, put_fut = fut.result()
+                if put_fut is not None:
+                    with trace("e2e/wait_put"):
+                        x_dev = put_fut.result()
+                    with trace("e2e/dispatch"):
+                        pred_dev, probs_dev = self._predict(
+                            self.variables, x_dev
+                        )
+                    entries.append((ok, n_kept, pred_dev, probs_dev))
+                depth.release()
+            if entries:
+                # ONE synchronous transfer for every batch's outputs: ids +
+                # probs are ~8 KB/batch, so even a 100k-image directory
+                # fetches a few MB in a single round trip.
+                with trace("e2e/fetch"):
+                    fetched = jax.device_get(
+                        [(e[2], e[3]) for e in entries]
+                    )
+                for (ok, n_kept, _, _), (pred, probs) in zip(entries, fetched):
+                    ids[ok] = pred[:n_kept]
+                    confs[ok] = probs[:n_kept]
         return ids, confs, ids >= 0
 
 
