@@ -290,6 +290,133 @@ def make_layer_golden():
     print("layer golden:", {k: v.shape for k, v in out.items()})
 
 
+def make_forward_golden_300():
+    """Golden oracle for the roomnet-300 geometry (round-3 review item #4).
+
+    The frozen reference graph has a 224-only placeholder, so a 300² run
+    cannot feed it. The reference's own 300/600 experiments (README.md:32)
+    rebuilt the SAME graph at the new input size and restored the conv
+    weights while excluding the dense head (network.py:78, :242 —
+    `flat_len` changes). This oracle does exactly that, in TF1's own
+    kernels: conv/pool/BN/legacy-resize ops at im_side=300 with the
+    converted reference conv weights + a seeded random dense head (stored
+    in the fixture). Pins the 300-geometry residual resize shapes
+    (296→281 is replaced by the 300 chain: resize 291→281, 138→67, 30→4)
+    that no 224-derived test covers.
+    """
+    import sys
+
+    import tensorflow.compat.v1 as tf
+
+    tf.disable_eager_execution()
+    sys.path.insert(0, os.path.dirname(__file__))
+    from make_synth_dataset import make_image
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from roomnet_tpu.models import registry
+
+    cfg = registry.get("roomnet-300")
+    params = dict(np.load(os.path.join(os.path.dirname(__file__), "..",
+                                       "artifacts", "roomnet_params.npz")))
+    rng = np.random.RandomState(20260817)
+    ims = [make_image(i % 6, rng, 300, 300)[:, :, ::-1] for i in range(1)]
+    ims.append(rng.randint(0, 256, size=(300, 300, 3), dtype=np.uint8))
+    x_uint8 = np.stack([np.ascontiguousarray(im) for im in ims])  # BGR
+    x_norm = ((x_uint8[:, :, :, ::-1].astype(np.float64) / 255.0) * 2.0
+              - 1.0).astype(np.float32)
+
+    # Seeded dense head at the 300-geometry flat_len (glorot-uniform like
+    # tf.layers defaults) — stored in the fixture for the JAX side.
+    d_in = cfg.flat_len
+    dense_params = {}
+    for di, units in enumerate(tuple(cfg.dense_units) + (cfg.num_classes,)):
+        # 0.4x glorot: full-scale random heads saturate most logits at the
+        # ReLU6 clip, where the oracle can't see deltas — scaled-down
+        # weights keep logits in the interior.
+        limit = 0.4 * np.sqrt(6.0 / (d_in + units))
+        dense_params[f"dense/{di}/kernel"] = rng.uniform(
+            -limit, limit, size=(d_in, units)
+        ).astype(np.float32)
+        d_in = units
+    dense_params["dense/3/bias"] = np.zeros((cfg.num_classes,), np.float32)
+
+    eps = float(cfg.bn_eps)
+    taps = {}
+    graph = tf.Graph()
+    with graph.as_default():
+        x = tf.constant(x_norm)
+
+        def bn(h, path):
+            out, _, _ = tf.nn.fused_batch_norm(
+                h,
+                scale=tf.constant(params[f"{path}/scale"]),
+                offset=tf.constant(params[f"{path}/bias"]),
+                mean=tf.constant(params[f"{path}/mean"]),
+                variance=tf.constant(params[f"{path}/var"]),
+                epsilon=eps,
+                is_training=False,
+            )
+            return out
+
+        for bi in range(len(cfg.block_filters)):
+            depth = cfg.block_depths[bi]
+            pool = cfg.block_pools[bi]
+            res_in = None
+            for d in range(depth):
+                x = tf.nn.conv2d(
+                    x, tf.constant(params[f"blocks/{bi}/conv/{d}"]),
+                    strides=[1, 1, 1, 1], padding="VALID",
+                )
+                x = tf.nn.relu6(x)
+                if pool is not None:
+                    k, st = pool
+                    x = tf.nn.avg_pool2d(
+                        x, ksize=[1, k, k, 1], strides=[1, st, st, 1],
+                        padding="VALID",
+                    )
+                x = bn(x, f"blocks/{bi}/bn/{d}")
+                if d == 0:
+                    res_in = x
+            if depth > 1:
+                resized = tf.image.resize_bilinear(
+                    res_in, tf.shape(x)[1:3], align_corners=False,
+                    half_pixel_centers=False,
+                )
+                x = bn(x + resized, f"blocks/{bi}/res_bn")
+            taps[f"b{bi}_out"] = x
+        x = tf.reshape(x, (x.shape[0], -1))
+
+        def bn_dense(h, path):
+            # 2D input: the non-fused tf.layers form (the fused kernel is
+            # NHWC-only) — x*(g*rsqrt(v+eps)) + (b - m*g*rsqrt(v+eps)).
+            g = tf.constant(params[f"{path}/scale"])
+            b = tf.constant(params[f"{path}/bias"])
+            m = tf.constant(params[f"{path}/mean"])
+            v = tf.constant(params[f"{path}/var"])
+            inv = g * tf.math.rsqrt(v + eps)
+            return h * inv + (b - m * inv)
+
+        for di in range(len(cfg.dense_units) + 1):
+            x = tf.matmul(x, tf.constant(dense_params[f"dense/{di}/kernel"]))
+            if f"dense/{di}/bias" in dense_params:
+                x = x + tf.constant(dense_params[f"dense/{di}/bias"])
+            x = tf.nn.relu6(x)
+            if di < len(cfg.dense_units):
+                x = bn_dense(x, f"dense/{di}/bn")
+        logits = x
+        with tf.Session(graph=graph) as sess:
+            tap_vals, logit_vals = sess.run([taps, logits])
+    out = {"x_uint8_bgr": x_uint8, "logits": logit_vals}
+    out.update(dense_params)
+    for k, v in tap_vals.items():
+        out[k] = v[:, :8, :8, :]
+        print(f"  tap {k}: full shape {v.shape}")
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "forward_golden_300.npz"), **out
+    )
+    print("300 forward golden:", logit_vals, "argmax", logit_vals.argmax(-1))
+
+
 if __name__ == "__main__":
     # Must sit BELOW every generator def: this module executes top-to-bottom,
     # so a mid-file __main__ block would NameError on later definitions.
@@ -298,6 +425,8 @@ if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     if "--valset-only" in _sys.argv:
         make_valset_golden()
+    elif "--golden-300-only" in _sys.argv:
+        make_forward_golden_300()
     else:
         make_forward_golden()
         make_resize_golden()
@@ -305,3 +434,4 @@ if __name__ == "__main__":
         make_layer_golden()
         make_forward_golden_wide()
         make_valset_golden()
+        make_forward_golden_300()
