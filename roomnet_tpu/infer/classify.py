@@ -50,6 +50,7 @@ class RoomNetClassifier:
         decode_workers: int | None = None,
         fast_decode: bool = False,
         fast_decode_safety: int = 2,
+        device_resize_side: int | None = None,
     ):
         """fast_decode: DCT-scaled JPEG decode in the native data-plane
         (up to 8x less decode work for large sources; slight pixel deltas —
@@ -60,16 +61,54 @@ class RoomNetClassifier:
         safety=1 (round-2 behavior) allows decoding to barely >= im_side,
         which maximizes resample deviation (measured 11% argmax flips on
         640x480 content); safety=2 keeps >=2x supersampling headroom
-        (measured 0 flips on the same harness, see PERF.md round 3)."""
+        (measured 0 flips on the same harness, see PERF.md round 3).
+
+        device_resize_side: ship center-cropped uint8 at this intermediate
+        side (e.g. 448) and run the final bilinear resample to
+        cfg.im_side ON DEVICE (ops/resize.py:resize_bilinear_half_pixel,
+        cv2 semantics; round-3 review item #8 / BASELINE's fused-preprocess
+        north star). For PCIe-attached hosts with link headroom: the fine
+        resample leaves the host's per-image CPU budget and rides the MXU,
+        at the cost of (side/im_side)² more bytes over the link. Measured
+        A/B in PERF.md round 4: a 3× LOSS on the bandwidth-starved dev
+        relay, and — when the host must still resample the crop to the
+        intermediate side — the two-step chain aliases differently than
+        the host's single-step resize (10.9% argmax flips on the 640×480
+        harness; the same irreducible effect as fast_decode, PERF round
+        3). EXACT parity (±1 uint8 LSB) holds when the cropped source
+        already equals device_resize_side, i.e. no intermediate host
+        resample happens. Serving mode, not parity mode. Must exceed
+        cfg.im_side."""
         self.variables = variables
         self.cfg = cfg
         self.batch_size = batch_size
         self.class_labels = class_labels or CLASS_LABELS
         self.mesh = mesh
         self.decode_workers = decode_workers or min(32, (os.cpu_count() or 8) * 2)
-        self.min_decode_side = fast_decode_safety * cfg.im_side if fast_decode else 0
+        if device_resize_side is not None and device_resize_side <= cfg.im_side:
+            raise ValueError(
+                f"device_resize_side {device_resize_side} must exceed "
+                f"im_side {cfg.im_side} (ship more pixels, resample on device)"
+            )
+        self.device_resize_side = device_resize_side
+        # The side the HOST pipeline resizes to (and ships).
+        self.host_side = device_resize_side or cfg.im_side
+        self.min_decode_side = (
+            fast_decode_safety * self.host_side if fast_decode else 0
+        )
 
         def _predict(variables, x_uint8_bgr):
+            if device_resize_side is not None:
+                from roomnet_tpu.ops.resize import resize_bilinear_half_pixel
+
+                xr = resize_bilinear_half_pixel(
+                    x_uint8_bgr.astype(jnp.float32),
+                    (cfg.im_side, cfg.im_side),
+                )
+                # Round back to uint8 (cv2's resize emits uint8 too, ±1 LSB
+                # fixed-point differences) so the uint8 preprocess fold
+                # into conv-0 still applies.
+                x_uint8_bgr = jnp.clip(jnp.rint(xr), 0, 255).astype(jnp.uint8)
             logits = forward(variables, normalize_bgr_uint8(x_uint8_bgr), cfg)
             probs = jax.nn.softmax(logits, axis=-1)
             return jnp.argmax(probs, axis=-1), probs
@@ -101,7 +140,7 @@ class RoomNetClassifier:
 
                 crop = draw_crop_rect(h, w, random_crop=False, rng=None)
                 out = native.load_preprocess(
-                    fpath, crop, self.cfg.im_side,
+                    fpath, crop, self.host_side,
                     min_decode_side=self.min_decode_side,
                 )
                 if out is not None:
@@ -119,8 +158,8 @@ class RoomNetClassifier:
         if im is None:
             return None
         im = center_crop(im)
-        if im.shape[0] != self.cfg.im_side or im.shape[1] != self.cfg.im_side:
-            im = cv2.resize(im, (self.cfg.im_side, self.cfg.im_side))
+        if im.shape[0] != self.host_side or im.shape[1] != self.host_side:
+            im = cv2.resize(im, (self.host_side, self.host_side))
         return np.ascontiguousarray(im)
 
     def predict_paths(self, fpaths: list[str]):
@@ -178,7 +217,7 @@ class RoomNetClassifier:
                                 pr[0], pr[1], random_crop=False, rng=None
                             )
                     batch, ok_mask = native.load_preprocess_batch(
-                        paths, crops, self.cfg.im_side,
+                        paths, crops, self.host_side,
                         np.zeros((m, 2), np.int32),
                         min_decode_side=self.min_decode_side,
                     )
@@ -201,7 +240,7 @@ class RoomNetClassifier:
                 kept = [im for im in ims if im is not None]
                 if not kept:
                     return ok, 0, None
-                full = np.zeros((bs, self.cfg.im_side, self.cfg.im_side, 3),
+                full = np.zeros((bs, self.host_side, self.host_side, 3),
                                 np.uint8)
                 full[: len(kept)] = np.stack(kept)
                 return ok, len(kept), full

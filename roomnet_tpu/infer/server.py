@@ -153,7 +153,9 @@ class ClassifierServer:
         "finished" in 1.6 s with 222 s of queued compiles, and the first
         request then blew its 30 s budget)."""
         clf = self.classifier
-        side = clf.cfg.im_side
+        # host_side: with device_resize_side the daemon ships the
+        # intermediate-side uint8 and the device does the final resample.
+        side = getattr(clf, "host_side", clf.cfg.im_side)
         for b in self._bucket_sizes:
             ids, _ = clf._predict(
                 clf.variables, np.zeros((b, side, side, 3), np.uint8)
@@ -166,7 +168,9 @@ class ClassifierServer:
         from roomnet_tpu.utils.profiling import trace
 
         clf = self.classifier
-        side = clf.cfg.im_side
+        # host_side: with device_resize_side the daemon ships the
+        # intermediate-side uint8 and the device does the final resample.
+        side = getattr(clf, "host_side", clf.cfg.im_side)
 
         def dead(j: _Job) -> bool:
             # Abandoned (client got its 504) or past its deadline (client
@@ -252,7 +256,8 @@ class ClassifierServer:
         if im is None:
             return None
         im = center_crop(im)
-        side = self.classifier.cfg.im_side
+        side = getattr(self.classifier, "host_side",
+                       self.classifier.cfg.im_side)
         if im.shape[0] != side or im.shape[1] != side:
             im = cv2.resize(im, (side, side))
         return np.ascontiguousarray(im)

@@ -125,6 +125,63 @@ def test_classify_im_dir_overlay_writes_annotated_copies(classifier, tmp_path):
     assert found == 2
 
 
+def test_device_resize_side_matches_host_resize(classifier, tmp_path):
+    """device_resize_side (round-3 review item #8): the host ships
+    intermediate-side uint8 and the device runs the final half-pixel
+    resample (ops/resize.py). General sources go through a two-step
+    resample chain whose aliasing differs from the host's single-step
+    resize (documented, PERF round 4) — here the argmax must still agree
+    on smooth content and confidences stay close."""
+    variables = classifier.variables
+    dev = RoomNetClassifier(
+        variables, TINY, batch_size=4, class_labels=LABELS4,
+        device_resize_side=2 * TINY.im_side,
+    )
+    assert dev.host_side == 2 * TINY.im_side
+    paths = _write_images(str(tmp_path / "imgs"), 6, side=96)
+    ids_host, confs_host, ok_h = classifier.predict_paths(paths)
+    ids_dev, confs_dev, ok_d = dev.predict_paths(paths)
+    assert ok_h.all() and ok_d.all()
+    np.testing.assert_array_equal(ids_host, ids_dev)
+    np.testing.assert_allclose(confs_host, confs_dev, atol=0.05)
+
+
+def test_device_resize_exact_when_source_is_intermediate_side(
+    classifier, tmp_path
+):
+    """The EXACT-parity case: the cropped source already equals
+    device_resize_side, so the host pipeline ships it untouched and the
+    device's half-pixel resample is the ONLY resample — matching the host
+    path's single cv2.resize to ±1 uint8 LSB. Confidences must agree
+    tightly and argmax exactly."""
+    variables = classifier.variables
+    inter = 2 * TINY.im_side
+    dev = RoomNetClassifier(
+        variables, TINY, batch_size=4, class_labels=LABELS4,
+        device_resize_side=inter,
+    )
+    d = str(tmp_path / "exact")
+    os.makedirs(d)
+    rng = np.random.RandomState(3)
+    paths = []
+    for i in range(5):
+        p = os.path.join(d, f"im_{i}.png")  # already square at inter side
+        cv2.imwrite(p, rng.randint(0, 255, (inter, inter, 3), np.uint8))
+        paths.append(p)
+    ids_host, confs_host, _ = classifier.predict_paths(paths)
+    ids_dev, confs_dev, _ = dev.predict_paths(paths)
+    np.testing.assert_array_equal(ids_host, ids_dev)
+    np.testing.assert_allclose(confs_host, confs_dev, atol=0.02)
+
+
+def test_device_resize_side_must_exceed_im_side():
+    with pytest.raises(ValueError, match="must exceed"):
+        RoomNetClassifier(
+            init_variables(jax.random.PRNGKey(0), TINY), TINY,
+            device_resize_side=TINY.im_side,
+        )
+
+
 def test_groundtruth_validation(classifier, tmp_path):
     d = str(tmp_path / "imgs")
     paths = _write_images(d, 4)
