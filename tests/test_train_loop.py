@@ -489,6 +489,51 @@ def test_stall_abort_interrupts_training(data_dir):
     assert time.monotonic() - t0 < 18
 
 
+def test_stall_abort_waits_for_watchdog_checkpoint(data_dir):
+    """stall_abort + stall_checkpoint: the emergency save runs on the
+    daemon watchdog thread AFTER interrupt_main(); the unwinding main
+    thread must wait (bounded) for it instead of exiting and killing the
+    daemon mid-write (round-3 advisor). Pinned with a slowed save: the
+    stall checkpoint must be complete on disk when train() raises."""
+    import dataclasses
+    import time
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),)),
+        model_dir=str(data_dir / "models_abort_ckpt"),
+        stats_fpath=str(data_dir / "stats_abort_ckpt.json"),
+        save_freq=1000,
+        stall_timeout_s=0.25,
+        stall_abort=True,
+        stall_checkpoint=True,
+    )
+    tr = Trainer(tc, cfg)
+    orig_step = tr._step_fn
+
+    def slow_step_fn(ph, **kw):
+        fn = orig_step(ph, **kw)
+
+        def wrapped(*a):
+            time.sleep(5.0)
+            return fn(*a)
+
+        return wrapped
+
+    tr._step_fn = slow_step_fn
+    real_save = tr.store.save
+
+    def slow_save(*a, **kw):
+        time.sleep(1.5)  # longer than the main thread's unwind
+        return real_save(*a, **kw)
+
+    tr.store.save = slow_save
+    with pytest.raises(KeyboardInterrupt):
+        tr.train(total_steps=5, log_every=1)
+    stall_ckpts = [c for c in os.listdir(tc.model_dir) if "--stall--" in c]
+    assert stall_ckpts, os.listdir(tc.model_dir)
+
+
 def test_trainer_with_orbax_backend(data_dir):
     """Full Trainer loop with the Orbax checkpoint backend: save + resume."""
     import dataclasses
