@@ -290,8 +290,8 @@ def make_layer_golden():
     print("layer golden:", {k: v.shape for k, v in out.items()})
 
 
-def make_forward_golden_300():
-    """Golden oracle for the roomnet-300 geometry (round-3 review item #4).
+def make_forward_golden_size(im_side: int = 300):
+    """Golden oracle for a non-224 geometry (round-3 review item #4).
 
     The frozen reference graph has a 224-only placeholder, so a 300² run
     cannot feed it. The reference's own 300/600 experiments (README.md:32)
@@ -315,12 +315,12 @@ def make_forward_golden_300():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from roomnet_tpu.models import registry
 
-    cfg = registry.get("roomnet-300")
+    cfg = registry.get(f"roomnet-{im_side}")
     params = dict(np.load(os.path.join(os.path.dirname(__file__), "..",
                                        "artifacts", "roomnet_params.npz")))
-    rng = np.random.RandomState(20260817)
-    ims = [make_image(i % 6, rng, 300, 300)[:, :, ::-1] for i in range(1)]
-    ims.append(rng.randint(0, 256, size=(300, 300, 3), dtype=np.uint8))
+    rng = np.random.RandomState(20260817 + im_side)
+    ims = [make_image(i % 6, rng, im_side, im_side)[:, :, ::-1] for i in range(1)]
+    ims.append(rng.randint(0, 256, size=(im_side, im_side, 3), dtype=np.uint8))
     x_uint8 = np.stack([np.ascontiguousarray(im) for im in ims])  # BGR
     x_norm = ((x_uint8[:, :, :, ::-1].astype(np.float64) / 255.0) * 2.0
               - 1.0).astype(np.float32)
@@ -412,9 +412,10 @@ def make_forward_golden_300():
         out[k] = v[:, :8, :8, :]
         print(f"  tap {k}: full shape {v.shape}")
     np.savez_compressed(
-        os.path.join(GOLDEN_DIR, "forward_golden_300.npz"), **out
+        os.path.join(GOLDEN_DIR, f"forward_golden_{im_side}.npz"), **out
     )
-    print("300 forward golden:", logit_vals, "argmax", logit_vals.argmax(-1))
+    print(f"{im_side} forward golden:", logit_vals, "argmax",
+          logit_vals.argmax(-1))
 
 
 if __name__ == "__main__":
@@ -426,7 +427,9 @@ if __name__ == "__main__":
     if "--valset-only" in _sys.argv:
         make_valset_golden()
     elif "--golden-300-only" in _sys.argv:
-        make_forward_golden_300()
+        make_forward_golden_size(300)
+    elif "--golden-600-only" in _sys.argv:
+        make_forward_golden_size(600)
     else:
         make_forward_golden()
         make_resize_golden()
@@ -434,4 +437,5 @@ if __name__ == "__main__":
         make_layer_golden()
         make_forward_golden_wide()
         make_valset_golden()
-        make_forward_golden_300()
+        make_forward_golden_size(300)
+        make_forward_golden_size(600)
