@@ -79,6 +79,7 @@ def cmd_infer(args):
     clf = RoomNetClassifier(
         _load_variables(args.params, args.model_dir), cfg,
         batch_size=args.batch_size, fast_decode=args.fast_decode,
+        device_resize_side=args.device_resize_side,
     )
     xl = classify_im_dir(clf, args.images_dir, overlay=not args.no_overlay)
     print("Results:", xl)
@@ -306,6 +307,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--no-overlay", action="store_true")
     i.add_argument("--exact", action="store_true",
                    help="f32 parity mode instead of bf16 serving mode")
+    i.add_argument("--device-resize-side", type=int, default=None,
+                   help="ship center-cropped uint8 at this side and run the "
+                        "final resample on device (PCIe hosts with at-size "
+                        "sources; see docs/operations.md)")
     i.add_argument("--fast-decode", action="store_true",
                    help="DCT-scaled JPEG decode (needs csrc/; >=2x "
                         "supersampling enforced — PERF.md for measured "

@@ -18,6 +18,13 @@ Endpoints:
                               response JSON {"results": [per-image result
                               or {"error": ...}]} — N images ride ONE
                               device call when N <= max_batch
+  POST /classify_batch?stream=1
+                           -> same body; NDJSON response — one
+                              {"index": i, ...result-or-error} line per
+                              image, emitted as each max_batch chunk's
+                              device call completes (first results after
+                              ONE device call, not the whole batch);
+                              stream ends by connection close
 
 Stdlib http.server only — no web framework dependency. Concurrency model:
 a ThreadingHTTPServer front end feeds a single device worker through a
@@ -309,6 +316,64 @@ class ClassifierServer:
             for _ in range(acquired):
                 self._admit.release()
 
+    def _run_stream(self, bodies: list[bytes], budget_s: float | None,
+                    emit) -> str | None:
+        """Streaming twin of _run_job for large batches: one admission over
+        all images, one job PER max_batch chunk, and `emit(index, result)`
+        called as each chunk's device call completes — first results arrive
+        after one device call instead of after the whole batch.
+
+        Returns "overloaded" when admission sheds, else None. emit raising
+        (client disconnected) abandons the remaining chunks so zombie work
+        never reaches the device."""
+        import time
+
+        budget = self.request_timeout_s
+        if budget_s is not None and budget_s > 0:
+            budget = min(budget_s, self.request_timeout_s)
+        deadline = time.monotonic() + budget
+        acquired = 0
+        for _ in range(len(bodies)):
+            if not self._admit.acquire(blocking=False):
+                break
+            acquired += 1
+        jobs: list[_Job] = []
+        try:
+            if acquired < len(bodies):
+                return "overloaded"
+            images = list(self._decode_pool.map(self._preprocess, bodies))
+            for at in range(0, len(images), self.max_batch):
+                job = _Job(images[at: at + self.max_batch], deadline=deadline)
+                jobs.append(job)
+                if any(im is not None for im in job.images):
+                    self._jobs.put(job)
+                else:
+                    job.event.set()
+            idx = 0
+            for job in jobs:
+                remaining = deadline - time.monotonic()
+                done = remaining > 0 and job.event.wait(timeout=remaining)
+                for k in range(len(job.images)):
+                    if job.images[k] is None:
+                        emit(idx, {"error": "undecodable image"})
+                    elif job.results[k] is not None:
+                        emit(idx, job.results[k])
+                    elif not done:
+                        emit(idx, {"error": "inference timeout"})
+                    else:
+                        emit(idx, {"error": f"inference backend: "
+                                            f"{job.error or 'unavailable'}"})
+                    idx += 1
+            return None
+        except ConnectionError:
+            return None  # client went away; finally abandons the rest
+        finally:
+            for job in jobs:
+                if not job.event.is_set():
+                    job.abandoned = True
+            for _ in range(acquired):
+                self._admit.release()
+
     # -- http ---------------------------------------------------------------
     def _make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
@@ -344,10 +409,11 @@ class ClassifierServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path == "/classify":
+                path, _, query = self.path.partition("?")
+                if path == "/classify":
                     self._classify_single()
-                elif self.path == "/classify_batch":
-                    self._classify_batch()
+                elif path == "/classify_batch":
+                    self._classify_batch(stream="stream=1" in query.split("&"))
                 else:
                     self._send(404, {"error": "not found"})
 
@@ -378,16 +444,17 @@ class ClassifierServer:
                     self._send(200, job.results[0])
                 elif images[0] is None:
                     self._send(400, {"error": "undecodable image"})
-                elif job.error == "device_error":
-                    # Server-side failure on a valid request: 5xx so HTTP
-                    # clients retry instead of treating it as caller error.
-                    self._send(503, {"error": "inference backend failure"})
+                elif job.error:
+                    # Server-side failure on a valid request ("device_error",
+                    # "shutting_down"): 5xx so HTTP clients retry instead of
+                    # treating it as caller error.
+                    self._send(503, {"error": f"inference backend: {job.error}"})
                 elif not job.event.is_set():
                     self._send(504, {"error": "inference timeout"})
                 else:
                     self._send(503, {"error": "inference unavailable"})
 
-            def _classify_batch(self):
+            def _classify_batch(self, stream: bool = False):
                 from roomnet_tpu.utils.profiling import trace
 
                 with trace("serve/request_batch"):
@@ -401,7 +468,10 @@ class ClassifierServer:
                                                   '{"images": [base64, ...]}'})
                         return
                     if not images:
-                        self._send(200, {"results": []})
+                        if stream:
+                            self._start_stream()
+                        else:
+                            self._send(200, {"results": []})
                         return
                     # Size cap BEFORE any base64 work: rejection must be
                     # cheap — decoding 10k blobs just to answer 413 defeats
@@ -416,13 +486,16 @@ class ClassifierServer:
                     except Exception:
                         self._send(400, {"error": "invalid base64 image"})
                         return
+                    if stream:
+                        self._classify_batch_stream(bodies)
+                        return
                     out = server_self._run_job(bodies, budget_s=self._budget_s())
                 if out == "overloaded":
                     self._send_overloaded()
                     return
                 job, images = out
-                if job.error == "device_error":
-                    self._send(503, {"error": "inference backend failure"})
+                if job.error:
+                    self._send(503, {"error": f"inference backend: {job.error}"})
                     return
                 if not job.event.is_set():
                     self._send(504, {"error": "inference timeout"})
@@ -432,6 +505,42 @@ class ClassifierServer:
                     for r in job.results
                 ]
                 self._send(200, {"results": results})
+
+            def _start_stream(self):
+                """NDJSON response head: length unknown up front, so the
+                stream ends by connection close (HTTP/1.0 semantics)."""
+                self.protocol_version = "HTTP/1.0"
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+            def _classify_batch_stream(self, bodies):
+                """POST /classify_batch?stream=1 — one NDJSON line per image
+                ({"index": i, ...result-or-error}), emitted as each
+                max_batch chunk's device call completes: first results
+                after ONE device call, not after the whole batch."""
+                # Admission check happens inside _run_stream, before any
+                # bytes of the 200 head are written — overload still sheds
+                # with a clean 429.
+                sent_head = []
+
+                def emit(i, result):
+                    if not sent_head:
+                        self._start_stream()
+                        sent_head.append(True)
+                    line = dict(result)
+                    line["index"] = i
+                    self.wfile.write((json.dumps(line) + "\n").encode())
+                    self.wfile.flush()
+
+                out = server_self._run_stream(
+                    bodies, self._budget_s(), emit
+                )
+                if out == "overloaded":
+                    self._send_overloaded()
+                elif not sent_head:
+                    self._start_stream()  # all-undecodable: still a stream
 
         return Handler
 
@@ -463,6 +572,16 @@ class ClassifierServer:
             self._httpd.shutdown()
             self._httpd.server_close()
         self._decode_pool.shutdown(wait=False, cancel_futures=True)
+        # Fail queued jobs FAST: handlers blocked in event.wait would
+        # otherwise sit out their full budgets on a server that will never
+        # answer them.
+        while True:
+            try:
+                job = self._jobs.get_nowait()
+            except queue.Empty:
+                break
+            job.error = job.error or "shutting_down"
+            job.event.set()
 
     def serve_forever(self):
         self.start()

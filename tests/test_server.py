@@ -447,6 +447,123 @@ def test_budget_header_clamped_to_server_cap():
         srv.stop()
 
 
+def test_classify_batch_stream_ndjson(server):
+    """POST /classify_batch?stream=1: one NDJSON line per image, in input
+    order, matching the non-streaming endpoint's results; undecodable
+    rows get per-line errors."""
+    import base64
+
+    payload = json.dumps({
+        "images": [
+            base64.b64encode(_img_bytes(seed=1)).decode(),
+            base64.b64encode(b"junk not an image").decode(),
+            base64.b64encode(_img_bytes(seed=2)).decode(),
+        ]
+    }).encode()
+    req = urllib.request.Request(
+        _url(server, "/classify_batch?stream=1"), data=payload, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(l) for l in r.read().splitlines()]
+    assert [l["index"] for l in lines] == [0, 1, 2]
+    assert lines[0]["label"] in LABELS4 and lines[2]["label"] in LABELS4
+    assert lines[1]["error"] == "undecodable image"
+    # parity with the blocking endpoint
+    status, out = _post(server, "/classify_batch", payload)
+    assert status == 200
+    assert out["results"][0]["label"] == lines[0]["label"]
+    assert out["results"][2]["probs"] == lines[2]["probs"]
+
+
+def test_classify_batch_stream_first_results_early():
+    """The streaming claim: with a slow device, the FIRST chunk's lines
+    arrive after one device call while later chunks are still queued —
+    not after the whole batch."""
+    import base64
+    import http.client
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(17), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    real = clf._predict
+    real(clf.variables, np.zeros((2, TINY.im_side, TINY.im_side, 3), np.uint8))
+
+    def slow(variables, batch):
+        time.sleep(0.5)
+        return real(variables, batch)
+
+    clf._predict = slow
+    srv = ClassifierServer(clf, port=0, max_inflight=64).start()
+    try:
+        payload = json.dumps({
+            "images": [base64.b64encode(_img_bytes(seed=s)).decode()
+                       for s in range(6)]  # 3 chunks of 2
+        }).encode()
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        t0 = time.monotonic()
+        conn.request("POST", "/classify_batch?stream=1", body=payload)
+        resp = conn.getresponse()
+        first_line = resp.fp.readline()
+        t_first = time.monotonic() - t0
+        rest = resp.read()
+        t_all = time.monotonic() - t0
+        conn.close()
+        assert json.loads(first_line)["index"] == 0
+        assert len(rest.splitlines()) == 5
+        # 3 sequential 0.5 s device calls: full stream takes >= ~1.5 s,
+        # the first line must NOT wait for them all.
+        assert t_all >= 1.2, t_all
+        assert t_first <= t_all - 0.7, (t_first, t_all)
+    finally:
+        srv.stop()
+
+
+def test_stop_fails_queued_jobs_fast():
+    """Graceful shutdown: jobs still queued when stop() runs must get a
+    fast 503, not sit out their full request budget."""
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(19), TINY), TINY,
+        batch_size=1, class_labels=LABELS4,
+    )
+    real = clf._predict
+    real(clf.variables, np.zeros((1, TINY.im_side, TINY.im_side, 3), np.uint8))
+
+    def slow(variables, batch):
+        time.sleep(1.0)
+        return real(variables, batch)
+
+    clf._predict = slow
+    srv = ClassifierServer(clf, port=0, request_timeout_s=30.0).start()
+    statuses = []
+    lock = threading.Lock()
+
+    def hit():
+        t0 = time.monotonic()
+        try:
+            s, _ = _post(srv, "/classify", _img_bytes())
+        except Exception:
+            s = "EXC"
+        with lock:
+            statuses.append((s, time.monotonic() - t0))
+
+    threads = [threading.Thread(target=hit) for _ in range(3)]
+    for t in threads:
+        t.start()
+    time.sleep(0.4)  # one on device, the rest queued
+    srv.stop()
+    for t in threads:
+        t.join(timeout=10)
+    assert len(statuses) == 3, statuses
+    # nobody waited anywhere near the 30 s budget
+    assert all(dt < 5.0 for _, dt in statuses), statuses
+
+
 def test_mesh_backed_server_buckets_stay_shardable():
     """A DP-mesh classifier shards the batch dim (P('data')): device-call
     buckets must be multiples of the data axis or every lone request
