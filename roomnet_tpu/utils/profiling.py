@@ -21,31 +21,50 @@ from collections import defaultdict
 
 
 class _Registry:
+    # Per-span ring of recent durations: enough for meaningful p50/p99
+    # over a serving window, bounded so a long-lived daemon never grows.
+    RING = 512
+
     def __init__(self):
         self._lock = threading.Lock()
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        self._recent: dict[str, list[float]] = defaultdict(list)
 
     def add(self, name: str, dt: float):
         with self._lock:
             self.totals[name] += dt
             self.counts[name] += 1
+            ring = self._recent[name]
+            if len(ring) >= self.RING:
+                ring[self.counts[name] % self.RING] = dt
+            else:
+                ring.append(dt)
 
     def summary(self) -> dict[str, dict[str, float]]:
         with self._lock:
-            return {
-                k: {
+            out = {}
+            for k in self.totals:
+                entry = {
                     "total_s": self.totals[k],
                     "count": self.counts[k],
                     "mean_ms": 1e3 * self.totals[k] / max(self.counts[k], 1),
                 }
-                for k in self.totals
-            }
+                ring = self._recent[k]
+                if ring:
+                    srt = sorted(ring)
+                    entry["p50_ms"] = 1e3 * srt[len(srt) // 2]
+                    entry["p99_ms"] = 1e3 * srt[min(
+                        len(srt) - 1, int(len(srt) * 0.99)
+                    )]
+                out[k] = entry
+            return out
 
     def reset(self):
         with self._lock:
             self.totals.clear()
             self.counts.clear()
+            self._recent.clear()
 
 
 SPANS = _Registry()

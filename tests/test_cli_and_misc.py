@@ -88,6 +88,19 @@ def test_step_timer_and_trace_spans():
         pass
     s = profiling.SPANS.summary()
     assert "unit_span" in s and s["unit_span"]["count"] == 1
+    assert "p50_ms" in s["unit_span"] and "p99_ms" in s["unit_span"]
+
+    # percentiles over a known population: 1..100 ms-ish spread
+    profiling.SPANS.reset()
+    for i in range(1, 101):
+        profiling.SPANS.add("pct_span", i / 1000.0)
+    p = profiling.SPANS.summary()["pct_span"]
+    assert abs(p["p50_ms"] - 51) <= 2, p
+    assert p["p99_ms"] >= 99, p
+    # ring bound: a long-lived span never grows beyond the window
+    for i in range(2000):
+        profiling.SPANS.add("ring_span", 0.001)
+    assert len(profiling.SPANS._recent["ring_span"]) <= profiling.SPANS.RING
 
     t = profiling.StepTimer()
     first = t.tick(8)
