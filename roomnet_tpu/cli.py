@@ -372,7 +372,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="admission cap before 429 shedding "
                         "(default 4x max_batch)")
     s.add_argument("--request-timeout", type=float, default=30.0,
-                   help="per-request device-wait timeout (s)")
+                   help="per-request budget cap (s), stamped at admission; "
+                        "clients may lower it per-request via the "
+                        "X-Timeout-Seconds header")
     s.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("doctor", help="environment diagnostics (PASS/WARN/FAIL)")

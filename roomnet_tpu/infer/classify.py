@@ -199,6 +199,11 @@ class RoomNetClassifier:
             # dispatched (each holds a bs×side²×3 host buffer; the put'ed
             # twin lives on device until its compute consumes it).
             depth = threading.Semaphore(3)
+            # If the main loop aborts (a stage raised), queued stage_decode
+            # futures must NOT block forever in depth.acquire — the
+            # executors' __exit__ waits on them and would deadlock the
+            # shutdown. abort turns them into no-ops.
+            abort = threading.Event()
 
             def decode_batch(start):
                 idxs = list(range(start, min(start + bs, n)))
@@ -246,34 +251,47 @@ class RoomNetClassifier:
                 return ok, len(kept), full
 
             def stage_decode(start):
-                depth.acquire()
-                with trace("e2e/decode"):
-                    ok, n_kept, full = decode_batch(start)
-                if full is None:
-                    return ok, 0, None
+                while not depth.acquire(timeout=0.2):
+                    if abort.is_set():
+                        return [], 0, None
+                if abort.is_set():
+                    depth.release()
+                    return [], 0, None
+                try:
+                    with trace("e2e/decode"):
+                        ok, n_kept, full = decode_batch(start)
+                    if full is None:
+                        return ok, 0, None
 
-                def put():
-                    with trace("e2e/device_put"):
-                        return jax.device_put(full, self._x_sharding)
+                    def put():
+                        with trace("e2e/device_put"):
+                            return jax.device_put(full, self._x_sharding)
 
-                return ok, n_kept, putter.submit(put)
+                    return ok, n_kept, putter.submit(put)
+                except BaseException:
+                    depth.release()  # main loop will never release for us
+                    raise
 
             stage_futs = [
                 decoder.submit(stage_decode, s) for s in range(0, n, bs)
             ]
             entries = []  # (ok, n_kept, pred_dev, probs_dev) — fetched once
-            for fut in stage_futs:
-                with trace("e2e/wait_decode"):
-                    ok, n_kept, put_fut = fut.result()
-                if put_fut is not None:
-                    with trace("e2e/wait_put"):
-                        x_dev = put_fut.result()
-                    with trace("e2e/dispatch"):
-                        pred_dev, probs_dev = self._predict(
-                            self.variables, x_dev
-                        )
-                    entries.append((ok, n_kept, pred_dev, probs_dev))
-                depth.release()
+            try:
+                for fut in stage_futs:
+                    with trace("e2e/wait_decode"):
+                        ok, n_kept, put_fut = fut.result()
+                    if put_fut is not None:
+                        with trace("e2e/wait_put"):
+                            x_dev = put_fut.result()
+                        with trace("e2e/dispatch"):
+                            pred_dev, probs_dev = self._predict(
+                                self.variables, x_dev
+                            )
+                        entries.append((ok, n_kept, pred_dev, probs_dev))
+                    depth.release()
+            except BaseException:
+                abort.set()
+                raise
             if entries:
                 # ONE synchronous transfer for every batch's outputs: ids +
                 # probs are ~8 KB/batch, so even a 100k-image directory

@@ -182,6 +182,42 @@ def test_device_resize_side_must_exceed_im_side():
         )
 
 
+def test_decode_stage_failure_raises_not_hangs(classifier, tmp_path,
+                                               monkeypatch):
+    """A decoder-stage exception (not a per-image decode failure — those
+    return None rows) must propagate out of predict_paths promptly. The
+    hazard: queued stage futures blocking forever on the depth semaphore
+    while the executor shutdown waits on them — a deadlock, not an error."""
+    import threading
+    import time
+
+    paths = _write_images(str(tmp_path / "imgs"), 20)
+    from roomnet_tpu.data import native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+
+    def exploding_load(fpath):
+        raise RuntimeError("simulated decoder backend failure")
+
+    monkeypatch.setattr(classifier, "_load", exploding_load)
+    out = {}
+
+    def run():
+        try:
+            classifier.predict_paths(paths)
+            out["r"] = "returned"
+        except RuntimeError as e:
+            out["r"] = str(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t0 = time.monotonic()
+    t.start()
+    t.join(timeout=20)
+    assert not t.is_alive(), "predict_paths hung on decoder failure"
+    assert out["r"] == "simulated decoder backend failure"
+    assert time.monotonic() - t0 < 15
+
+
 def test_groundtruth_validation(classifier, tmp_path):
     d = str(tmp_path / "imgs")
     paths = _write_images(d, 4)
