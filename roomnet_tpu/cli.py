@@ -191,6 +191,19 @@ def cmd_doctor(args):
     sys.exit(1 if failed else 0)
 
 
+def cmd_convert_to_tf(args):
+    import numpy as np
+
+    from roomnet_tpu.params.export_tf import export_tf_checkpoint
+
+    flat = dict(np.load(args.params))
+    flat = {k: v for k, v in flat.items()
+            if not k.startswith(("opt/", "meta/"))}
+    path = export_tf_checkpoint(flat, args.out)
+    print(f"exported {len(flat)} tensors -> {path} "
+          f"(pair with the reference roomnet.meta)")
+
+
 def cmd_convert(args):
     from roomnet_tpu.params.convert_tf import convert_tf_checkpoint, save_flat
 
@@ -331,6 +344,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--tf-ckpt", default="/root/reference/final_model/roomnet")
     c.add_argument("--out", default="artifacts/roomnet_params.npz")
     c.set_defaults(fn=cmd_convert)
+
+    c2 = sub.add_parser(
+        "convert-to-tf",
+        help="native params -> TF1 checkpoint the reference graph restores "
+             "by name (train here, deploy on reference infra)",
+    )
+    c2.add_argument("--params", default="artifacts/roomnet_params.npz")
+    c2.add_argument("--out", default="exported_tf/roomnet",
+                    help="TF checkpoint prefix to write")
+    c2.set_defaults(fn=cmd_convert_to_tf)
 
     pl = sub.add_parser("plot", help="stats JSON -> 4 PNGs (reference plotter.py)")
     pl.add_argument("--stats", default="all_train_stats.json")
