@@ -159,7 +159,14 @@ class TrainFeeder:
         seed: int = 0,
         decode_workers: int = 8,
         start: bool = True,
+        rows: tuple[int, int] | None = None,
     ):
+        """rows=(lo, hi): decode ONLY rows lo..hi of every nominal batch —
+        the multi-host sharded-feed mode (each process decodes its own
+        slice instead of the whole global batch, cutting host decode
+        N_processes×). Epoch order, per-row crop/flip RNG, and epoch
+        accounting stay keyed to the GLOBAL row index, so the union of
+        all processes' slices is exactly the replicated-mode batch."""
         self.fpaths = np.array([l for l in fpaths if l.strip()])
         if len(self.fpaths) == 0:
             raise ValueError(
@@ -175,6 +182,14 @@ class TrainFeeder:
         self.batch_size = min(batch_size, self.epoch_size_total)
         self.batches_per_epoch = self.epoch_size_total // self.batch_size
         self.epoch_size = self.batch_size * self.batches_per_epoch
+        if rows is not None:
+            lo, hi = rows
+            if not (0 <= lo < hi <= self.batch_size):
+                raise ValueError(
+                    f"rows {rows} out of range for batch_size "
+                    f"{self.batch_size}"
+                )
+        self.rows = rows
         self.train_state = {
             "epoch": 1,
             "batch": 0,
@@ -208,6 +223,13 @@ class TrainFeeder:
         start = batch_i * self.batch_size
         lines = self.fpaths[order[start : start + self.batch_size]]
         parsed = [parse_list_line(l) for l in lines]
+        # Sharded feed: this process decodes only its row slice; row0
+        # offsets every per-row RNG draw to the GLOBAL row index so the
+        # slice is row-identical to the replicated batch.
+        row0 = 0
+        if self.rows is not None:
+            row0 = self.rows[0]
+            parsed = parsed[self.rows[0]: self.rows[1]]
 
         if native.available():
             # Native fused pipeline: probe headers (threaded), draw
@@ -219,7 +241,7 @@ class TrainFeeder:
             crops = np.full((n, 4), -1, np.int32)
             flips = np.zeros((n, 2), np.int32)
             for i, pr in enumerate(probes):
-                rng = self._item_rng(epoch, batch_i, i)
+                rng = self._item_rng(epoch, batch_i, row0 + i)
                 if pr is None:
                     continue
                 crops[i] = draw_crop_rect(
@@ -240,7 +262,8 @@ class TrainFeeder:
                     im = load_and_preprocess(
                         parsed[i][0], self.im_side,
                         random_crop=self.random_crop, augment=self.augment,
-                        rng=self._item_rng(epoch, batch_i, i), use_native=False,
+                        rng=self._item_rng(epoch, batch_i, row0 + i),
+                        use_native=False,
                     )
                 if im is not None:
                     xs.append(im)
@@ -255,7 +278,7 @@ class TrainFeeder:
                     self.im_side,
                     random_crop=self.random_crop,
                     augment=self.augment,
-                    rng=self._item_rng(epoch, batch_i, i),
+                    rng=self._item_rng(epoch, batch_i, row0 + i),
                 )
                 return im, label, path
 
@@ -278,9 +301,10 @@ class TrainFeeder:
                 len(parsed), parsed[0][0] if parsed else "?",
             )
             synthetic = True
-            xs = [np.zeros((self.im_side, self.im_side, 3), np.uint8)] * self.batch_size
-            ys = [0] * self.batch_size
-            paths = [""] * self.batch_size
+            n_rows = len(parsed) or self.batch_size
+            xs = [np.zeros((self.im_side, self.im_side, 3), np.uint8)] * n_rows
+            ys = [0] * n_rows
+            paths = [""] * n_rows
         return np.stack(xs), np.asarray(ys, np.int32), np.asarray(paths), synthetic
 
     def _producer(self):

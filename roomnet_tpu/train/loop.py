@@ -73,6 +73,18 @@ class TrainConfig:
     seed: int = 0
     restore_head: bool = True  # False = reference's fresh-dense-head restore
     phases: tuple[Phase, ...] = (Phase(until_step=1 << 62),)
+    # Multi-process input mode. "replicated" (default): every process's
+    # feeder decodes the IDENTICAL global batch and device_put takes its
+    # local shards — zero coordination, but host decode is duplicated
+    # N_processes×. "sharded": each process decodes ONLY its row slice of
+    # the global batch (same epoch order and per-row augment RNG, so the
+    # union matches replicated mode row-for-row) and the global array is
+    # assembled from per-process local data — the pod-scale data plane.
+    # Sharded mode masks per-rank unreadable rows out of the loss instead
+    # of skipping batches (a per-rank skip would desync the collectives).
+    # Validation always feeds replicated (periodic + cheap; its labels
+    # must be global). Requires a mesh; no-op without one.
+    feed_mode: str = "replicated"
     # Failure detection: warn when no step completes for this long
     # (0 disables). See utils/watchdog.py.
     stall_timeout_s: float = 600.0
@@ -197,12 +209,16 @@ class Trainer:
         print(f"Model restored at step {step}")
         return state
 
-    def _to_global(self, x, *, leading_steps: bool = False):
+    def _to_global(self, x, *, leading_steps: bool = False,
+                   from_local: bool = False):
         """Host batch -> device array sharded over 'data'. Single-process:
-        a plain device_put. Multi-process: every rank holds the IDENTICAL
-        full batch (the feeder is bit-deterministic per seed), so each rank
-        contributes its addressable shards via make_array_from_callback —
-        multi-host feeding with zero coordination.
+        a plain device_put. Multi-process replicated feed: every rank holds
+        the IDENTICAL full batch (the feeder is bit-deterministic per
+        seed), so each rank contributes its addressable shards via
+        make_array_from_callback — multi-host feeding with zero
+        coordination. Sharded feed (from_local=True): x holds ONLY this
+        process's rows; the global array is assembled from per-process
+        local data (each sample decoded exactly once fleet-wide).
 
         leading_steps: the array is a (K, batch, ...) multi-step stack —
         the scan axis stays unsharded, the batch axis shards on 'data'."""
@@ -214,9 +230,30 @@ class Trainer:
 
         spec = P(None, "data") if leading_steps else P("data")
         sharding = NamedSharding(self.mesh, spec)
+        if from_local:
+            axis = 1 if leading_steps else 0
+            gshape = list(x.shape)
+            gshape[axis] *= jax.process_count()
+            return jax.make_array_from_process_local_data(
+                sharding, x, tuple(gshape)
+            )
         if jax.process_count() == 1:
             return jax.device_put(x, sharding)
         return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+    def _feed_rows(self, global_batch: int) -> tuple[int, int] | None:
+        """This process's row slice of the nominal batch under
+        feed_mode="sharded" (None in replicated mode / without a mesh)."""
+        if self.tc.feed_mode != "sharded" or self.mesh is None:
+            return None
+        n_proc, pid = jax.process_count(), jax.process_index()
+        if global_batch % n_proc:
+            raise ValueError(
+                f"sharded feed: batch {global_batch} not divisible by "
+                f"{n_proc} processes"
+            )
+        local = global_batch // n_proc
+        return (pid * local, (pid + 1) * local)
 
     def _pad_for_mesh(self, x, y=None):
         """Pad a host batch up to a multiple of the 'data' axis by cycling
@@ -264,12 +301,15 @@ class Trainer:
         )
 
     # -- compiled fns -------------------------------------------------------
-    def _step_fn(self, ph: Phase, *, multi: bool = False):
+    def _step_fn(self, ph: Phase, *, multi: bool = False,
+                 masked: bool = False):
         """Single-step fn, or (multi=True) the K-steps-per-dispatch scan
         variant — K is taken from the input shape, so one cache entry per
-        phase covers every window width."""
+        phase covers every window width. masked=True (sharded feed) adds
+        the (B,) real-row mask as a 5th, batch-sharded argument to the
+        single step."""
         key = (ph.dropout_enabled, ph.dropout_rate, ph.compute_bn_mean_var,
-               ph.update_bn_moving, multi)
+               ph.update_bn_moving, multi, masked)
         if key not in self._compiled:
             from roomnet_tpu.train.step import make_multi_train_step
 
@@ -280,10 +320,10 @@ class Trainer:
 
                 spec = P(None, "data") if multi else P("data")
                 data = NamedSharding(self.mesh, spec)
-                # multi: a 5th arg — the (K, B) real-row mask, batch-sharded
-                # like y.
+                # multi/masked: a 5th arg — the real-row mask, batch-
+                # sharded like y.
                 shardings = (
-                    (None, data, data, None, data) if multi
+                    (None, data, data, None, data) if (multi or masked)
                     else (None, data, data, None)
                 )
                 fn = jax.jit(
@@ -397,11 +437,12 @@ class Trainer:
                 all_stats = json.load(f)
 
         ph = phase_at(tc.phases, start_step)
+        mesh_bs = self._mesh_batch(ph.batch_size)
         train_reader = TrainFeeder(
-            train_txt, batch_size=self._mesh_batch(ph.batch_size),
+            train_txt, batch_size=mesh_bs,
             batches_per_queue=tc.batches_per_queue,
             shuffle=True, im_side=tc.img_side, random_crop=True, preprocess=True,
-            seed=tc.seed,
+            seed=tc.seed, rows=self._feed_rows(mesh_bs),
         )
         val_reader = TrainFeeder(
             val_txt, batch_size=self._mesh_batch(tc.val_batch_size),
@@ -490,7 +531,18 @@ class Trainer:
         # extended across the PCIe/ICI boundary).
         pending = None  # (x_dev, y_dev) already on device
 
+        sharded = train_reader.rows is not None
+
         def fetch_host_batch():
+            if sharded:
+                # Sharded feed: NEVER skip — a per-rank skip would desync
+                # the ranks' batch streams and hang the collectives. An
+                # unreadable (or fully-synthetic) local slice contributes
+                # zero loss weight via the row mask instead.
+                x, y = train_reader.dequeue()
+                lo, hi = train_reader.rows
+                n_real = 0 if train_reader.last_batch_synthetic else x.shape[0]
+                return _cycle_pad(x, hi - lo), _cycle_pad(y, hi - lo), n_real
             # Skip synthetic batches (whole batch unreadable — fabricated
             # zeros labeled class 0): a silent full-batch gradient step on
             # fake data would corrupt the run. Bounded by one epoch of
@@ -511,18 +563,28 @@ class Trainer:
             """k host batches -> device; returns (x, y, row_mask_or_None).
 
             k==1 keeps the classic (B, ...) shapes (shrunk batches
-            tolerated via shape-keyed recompile; mask None). k>1 stacks to
-            (k, B, ...) for the scanned multi-step — every batch is padded
-            by row-cycling to the feeder's nominal size first (np.stack
-            needs uniform shapes), and a (k, B) float mask marks the real
-            rows so padding contributes NO gradient weight — matching the
-            k==1 semantics where a shrunk batch trains only on real rows
-            (round-3 advisor)."""
+            tolerated via shape-keyed recompile; mask None — EXCEPT the
+            sharded feed, whose fixed local shapes always carry a mask).
+            k>1 stacks to (k, B, ...) for the scanned multi-step — every
+            batch is padded by row-cycling to the nominal size first
+            (np.stack needs uniform shapes), and a (k, B) float mask marks
+            the real rows so padding contributes NO gradient weight —
+            matching the k==1 semantics where a shrunk batch trains only
+            on real rows (round-3 advisor)."""
             if k == 1:
-                x, y, _ = fetch_host_batch()
+                x, y, n_real = fetch_host_batch()
+                if sharded:
+                    mask = np.zeros((x.shape[0],), np.float32)
+                    mask[:n_real] = 1.0
+                    return (
+                        self._to_global(x, from_local=True),
+                        self._to_global(y, from_local=True),
+                        self._to_global(mask, from_local=True),
+                    )
                 return self._to_global(x), self._to_global(y), None
 
-            n = train_reader.batch_size
+            n = (train_reader.rows[1] - train_reader.rows[0]
+                 if sharded else train_reader.batch_size)
             triples = [fetch_host_batch() for _ in range(k)]
             x = np.stack([_cycle_pad(t[0], n) for t in triples])
             y = np.stack([_cycle_pad(t[1], n) for t in triples])
@@ -530,9 +592,9 @@ class Trainer:
             for j, t in enumerate(triples):
                 mask[j, : min(t[2], n)] = 1.0
             return (
-                self._to_global(x, leading_steps=True),
-                self._to_global(y, leading_steps=True),
-                self._to_global(mask, leading_steps=True),
+                self._to_global(x, leading_steps=True, from_local=sharded),
+                self._to_global(y, leading_steps=True, from_local=sharded),
+                self._to_global(mask, leading_steps=True, from_local=sharded),
             )
 
         end_step = start_step + total_steps
@@ -571,11 +633,12 @@ class Trainer:
                 if new_ph.batch_size != ph.batch_size:
                     train_reader.close()
                     pending = None
+                    mesh_bs = self._mesh_batch(new_ph.batch_size)
                     train_reader = TrainFeeder(
-                        train_txt, batch_size=self._mesh_batch(new_ph.batch_size),
+                        train_txt, batch_size=mesh_bs,
                         batches_per_queue=tc.batches_per_queue, shuffle=True,
                         im_side=tc.img_side, random_crop=True, preprocess=True,
-                        seed=tc.seed,
+                        seed=tc.seed, rows=self._feed_rows(mesh_bs),
                     )
                 ph = new_ph
                 if it % tc.save_freq == 0 and it > start_step:
@@ -630,6 +693,10 @@ class Trainer:
                     state, metrics = self._step_fn(ph, multi=True)(
                         state, x, y, sub, mk
                     )
+                elif mk is not None:  # sharded feed: masked single step
+                    state, metrics = self._step_fn(
+                        ph, multi=False, masked=True
+                    )(state, x, y, sub, mk)
                 else:
                     state, metrics = self._step_fn(ph, multi=False)(
                         state, x, y, sub

@@ -189,6 +189,103 @@ _TRAINER_WORKER = textwrap.dedent(
 )
 
 
+_SHARDED_FEED_WORKER = textwrap.dedent(
+    """
+    import sys
+
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from roomnet_tpu.parallel import distributed
+
+    pid = int(sys.argv[1])
+    workdir = sys.argv[2]
+    assert distributed.initialize("127.0.0.1:39281", 2, pid)
+
+    import dataclasses
+    import os
+
+    from roomnet_tpu.train.loop import Phase, TrainConfig, Trainer
+    from tests.tiny import TINY
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+
+    def tc_for(mode):
+        return TrainConfig(
+            data_dir=os.path.join(workdir, "data"),
+            train_list_fpath=os.path.join(workdir, "train_list.txt"),
+            val_list_fpath=os.path.join(workdir, "val_list.txt"),
+            stats_fpath=os.path.join(workdir, f"stats_{mode}.json"),
+            model_dir=os.path.join(workdir, f"models_{mode}"),
+            img_side=TINY.im_side, train_steps=1000, save_freq=1000,
+            val_batch_size=4, learn_rate=1e-3, l2_coeff=1e-4, seed=0,
+            phases=(Phase(until_step=1 << 62, batch_size=8),),
+            stall_timeout_s=0, feed_mode=mode,
+        )
+
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size == 4
+
+    # Sharded: THIS process decodes only rows [pid*4, pid*4+4) of every
+    # batch. Replicated: both decode all 8 rows. Same seed, same epoch
+    # order, same per-row augments -> the two runs see the same sample
+    # set per step (sharded row ORDER within the global batch may differ,
+    # which the mean-reduced loss/grads don't care about).
+    state_sh = Trainer(tc_for("sharded"), cfg, mesh=mesh).train(
+        total_steps=4, log_every=100)
+    state_rep = Trainer(tc_for("replicated"), cfg, mesh=mesh).train(
+        total_steps=4, log_every=100)
+    for k in state_sh.train_vars:
+        np.testing.assert_allclose(
+            np.asarray(state_sh.train_vars[k]),
+            np.asarray(state_rep.train_vars[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+    print("SHARDEDFEED OK", pid,
+          float(np.asarray(state_sh.train_vars["dense/0/kernel"]).sum()))
+    """
+)
+
+
+def test_cross_process_sharded_feed_matches_replicated(tmp_path):
+    """feed_mode="sharded" over 2 processes x 2 devices: each rank decodes
+    only its 4-row slice, the global batch assembles from per-process
+    local data, and 4 training steps match the replicated-feed run
+    (same samples; mean-reduced loss is row-order invariant). Ranks also
+    end bit-identical to each other."""
+    import cv2  # noqa: F401
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "data"
+    for cls, base in [("Kitchen", 40), ("Bedroom", 200)]:
+        (d / cls).mkdir(parents=True)
+        for i in range(10):
+            im = np.clip(rng.randint(base - 30, base + 30, (40, 48, 3)), 0, 255)
+            cv2.imwrite(str(d / cls / f"im_{i}.png"), im.astype(np.uint8))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SHARDED_FEED_WORKER, str(i), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append((p.returncode, out))
+    sums = []
+    for rc, out in outs:
+        assert rc == 0, out[-3000:]
+        line = [l for l in out.splitlines() if l.startswith("SHARDEDFEED OK")][0]
+        sums.append(float(line.split()[3]))
+    assert sums[0] == sums[1], sums
+
+
 def test_cross_process_trainer_end_to_end(tmp_path):
     """The full Trainer over 2 processes x 2 devices: deterministic feeders
     build identical global batches, grads all-reduce across the process

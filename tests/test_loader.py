@@ -112,6 +112,35 @@ def test_feeder_deterministic_given_seed(tmp_path):
     assert not np.array_equal(a1, a3)
 
 
+def test_feeder_rows_slice_matches_full_batch(tmp_path):
+    """Sharded feed (rows=(lo, hi)): the slice must be row-identical to
+    rows lo..hi of the replicated full batch — same epoch order, same
+    per-row crop/flip draws (RNG keyed to the GLOBAL row index)."""
+    paths = _write_imgs(tmp_path / "d", "c0", 12, hw=(50, 30))
+    lines = [f"{p} {i % 3}\n" for i, p in enumerate(paths)]
+
+    def batches(rows, n=3):
+        with TrainFeeder(lines, batch_size=6, im_side=16, shuffle=True,
+                         random_crop=True, preprocess=True, seed=5,
+                         rows=rows) as f:
+            return [f.dequeue() for _ in range(n)]
+
+    full = batches(None)
+    lo_half = batches((0, 3))
+    hi_half = batches((3, 6))
+    for (xf, yf), (xa, ya), (xb, yb) in zip(full, lo_half, hi_half):
+        np.testing.assert_array_equal(xf[:3], xa)
+        np.testing.assert_array_equal(yf[:3], ya)
+        np.testing.assert_array_equal(xf[3:], xb)
+        np.testing.assert_array_equal(yf[3:], yb)
+
+
+def test_feeder_rows_validation():
+    with pytest.raises(ValueError, match="out of range"):
+        TrainFeeder(["x 0\n", "y 1\n"], batch_size=2, rows=(0, 3),
+                    start=False)
+
+
 def test_feeder_skips_unreadable(tmp_path):
     paths = _write_imgs(tmp_path / "d", "c0", 4)
     bad = tmp_path / "d" / "c0" / "bad.jpg"

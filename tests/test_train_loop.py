@@ -231,6 +231,97 @@ def test_trainer_multi_step_with_dp_mesh(data_dir):
     assert int(state.step) == 6
 
 
+def test_trainer_sharded_feed_matches_replicated(data_dir):
+    """feed_mode="sharded" over a DP mesh: this process decodes only its
+    row slice and the global batch is assembled from local data. Single-
+    process, the slice IS the full batch, so the run must match
+    replicated mode EXACTLY (identical rows through the masked step —
+    sum(ce*1)/B == mean(ce))."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+
+    def run(mode, tag):
+        tc = dataclasses.replace(
+            _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=8),)),
+            model_dir=str(data_dir / f"models_feed_{tag}"),
+            stats_fpath=str(data_dir / f"stats_feed_{tag}.json"),
+            feed_mode=mode,
+        )
+        state = Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(
+            total_steps=4, log_every=100
+        )
+        return jax.device_get(state.train_vars)
+
+    a = run("replicated", "rep")
+    b = run("sharded", "shard")
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(b[k]), np.asarray(a[k]), rtol=1e-6, atol=1e-7,
+            err_msg=k,
+        )
+
+
+def test_trainer_sharded_feed_masks_unreadable_rows(tmp_path):
+    """Sharded feed must NOT skip a batch whose slice has unreadable rows
+    (a per-rank skip would desync multi-process collectives) — the rows
+    are masked out of the loss instead, and training proceeds."""
+    import dataclasses
+
+    import cv2
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    d = tmp_path / "data"
+    rng = np.random.RandomState(0)
+    for cls in ("Kitchen", "Bedroom"):
+        (d / cls).mkdir(parents=True)
+        for i in range(8):
+            cv2.imwrite(str(d / cls / f"im_{i}.png"),
+                        rng.randint(0, 255, (40, 48, 3), np.uint8))
+    # corrupt a few files AFTER list generation would be ideal; corrupt
+    # now — extract_fpaths' validity filter would drop them, so write the
+    # lists manually with the bad files included.
+    bad = d / "Kitchen" / "bad.png"
+    bad.write_text("not an image")
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    workdir = tmp_path / "run"
+    workdir.mkdir()
+    paths = sorted(str(p) for cls in ("Kitchen", "Bedroom")
+                   for p in (d / cls).iterdir())
+    with open(workdir / "train_list.txt", "w") as f:
+        for p in paths:
+            f.write(f"{p} {int('Bedroom' in p)}\n")
+    with open(workdir / "val_list.txt", "w") as f:
+        for p in paths[:4]:
+            f.write(f"{p} {int('Bedroom' in p)}\n")
+    tc = TrainConfig(
+        data_dir=str(d),
+        train_list_fpath=str(workdir / "train_list.txt"),
+        val_list_fpath=str(workdir / "val_list.txt"),
+        stats_fpath=str(workdir / "stats.json"),
+        model_dir=str(workdir / "models"),
+        img_side=TINY.im_side, train_steps=1000, save_freq=1000,
+        val_batch_size=4, learn_rate=1e-3, l2_coeff=1e-4, seed=0,
+        phases=(Phase(until_step=1 << 62, batch_size=8),),
+        stall_timeout_s=0,
+        feed_mode="sharded",
+    )
+    state = Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(
+        total_steps=4, log_every=100
+    )
+    assert int(state.step) == 4
+
+
 def test_trainer_dp_rounds_indivisible_batch(data_dir):
     """Reference batch sizes (45, 6, ...) aren't multiples of the data axis;
     the Trainer rounds them so P('data') sharding is valid instead of
