@@ -55,6 +55,7 @@ def cmd_train(args):
         steps_per_call=args.steps_per_call,
         stall_timeout_s=args.stall_timeout,
         stall_abort=args.stall_abort,
+        feed_mode=args.feed_mode,
         val_use_batch_stats={"phase": None, "batch": True, "moving": False}[args.val_bn],
     )
     if args.curriculum:
@@ -290,6 +291,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exclude the dense head on restore (network.py:78)")
     t.add_argument("--curriculum", action="store_true",
                    help="README.md:34-38 batch/dropout/BN-freeze schedule")
+    t.add_argument("--feed-mode", choices=["replicated", "sharded"],
+                   default="replicated",
+                   help="multi-process input mode: sharded = each process "
+                        "decodes only its row slice (pod data plane)")
     t.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
     t.add_argument("--ckpt-backend", choices=["npz", "orbax"], default="npz",
