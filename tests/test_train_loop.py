@@ -268,6 +268,31 @@ def test_trainer_sharded_feed_matches_replicated(data_dir):
         )
 
 
+def test_trainer_sharded_feed_with_multi_step(data_dir):
+    """feed_mode="sharded" + steps_per_call>1: the (K, local, ...) stacks
+    assemble into (K, global, ...) arrays from per-process local data
+    (leading scan axis unsharded)."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=8),)),
+        model_dir=str(data_dir / "models_feed_scan"),
+        stats_fpath=str(data_dir / "stats_feed_scan.json"),
+        feed_mode="sharded", steps_per_call=3,
+    )
+    state = Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(
+        total_steps=6, log_every=1
+    )
+    assert int(state.step) == 6
+
+
 def test_trainer_sharded_feed_masks_unreadable_rows(tmp_path):
     """Sharded feed must NOT skip a batch whose slice has unreadable rows
     (a per-rank skip would desync multi-process collectives) — the rows
