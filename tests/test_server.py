@@ -522,6 +522,49 @@ def test_classify_batch_stream_first_results_early():
         srv.stop()
 
 
+def test_classify_batch_stream_device_error_mid_stream():
+    """A device failure on a later chunk must surface as per-line errors
+    for THAT chunk only — earlier chunks' results already streamed."""
+    import base64
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(21), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    real = clf._predict
+    real(clf.variables, np.zeros((2, TINY.im_side, TINY.im_side, 3), np.uint8))
+    calls = {"n": 0}
+
+    def flaky(variables, batch):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second chunk's device call fails
+            raise RuntimeError("simulated device failure")
+        return real(variables, batch)
+
+    clf._predict = flaky
+    srv = ClassifierServer(clf, port=0, max_inflight=64).start()
+    try:
+        payload = json.dumps({
+            "images": [base64.b64encode(_img_bytes(seed=s)).decode()
+                       for s in range(4)]  # 2 chunks of 2
+        }).encode()
+        req = urllib.request.Request(
+            _url(srv, "/classify_batch?stream=1"), data=payload, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            lines = [json.loads(l) for l in r.read().splitlines()]
+        assert len(lines) == 4
+        assert lines[0]["label"] in LABELS4 and lines[1]["label"] in LABELS4
+        assert "error" in lines[2] and "error" in lines[3]
+        assert "device_error" in lines[2]["error"]
+        # the worker survived: a fresh request succeeds
+        status, out = _post(srv, "/classify", _img_bytes())
+        assert status == 200 and out["label"] in LABELS4
+    finally:
+        srv.stop()
+
+
 def test_stop_fails_queued_jobs_fast():
     """Graceful shutdown: jobs still queued when stop() runs must get a
     fast 503, not sit out their full request budget."""
