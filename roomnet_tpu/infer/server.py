@@ -185,14 +185,82 @@ class ClassifierServer:
             # only starve freshly admitted requests.
             return j.abandoned or time.monotonic() > j.deadline
 
+        def dispatch_round(batch_jobs):
+            """Assemble this round's chunks and DISPATCH their device
+            calls (async — jax returns before the result lands). Returns
+            (batch_jobs, dispatched_chunks, dispatch_failed). Chunk size
+            honors max_batch (which __init__ clamps to <= the compiled
+            batch); any failure is recorded, never raised — the worker
+            thread must survive everything."""
+            rows = [
+                (job, k)
+                for job in batch_jobs
+                for k in range(len(job.images))
+                if job.images[k] is not None
+            ]
+            chunks = []
+            try:
+                for at in range(0, len(rows), self.max_batch):
+                    chunk = rows[at: at + self.max_batch]
+                    bsz = self._bucket_for(len(chunk), self._bucket_sizes)
+                    batch = np.zeros((bsz, side, side, 3), np.uint8)
+                    for i, (job, k) in enumerate(chunk):
+                        batch[i] = job.images[k]
+                    with trace("serve/device_call"):
+                        ids_dev, probs_dev = clf._predict(clf.variables, batch)
+                    chunks.append((chunk, ids_dev, probs_dev))
+            except Exception:
+                return batch_jobs, chunks, True
+            return batch_jobs, chunks, False
+
+        def finalize(round_):
+            """Fetch this round's results and complete its jobs. A failed
+            chunk (fetch error, or dispatch_failed cut the round short)
+            fails only jobs whose results are incomplete — a job fully
+            served by an earlier successful chunk completes normally."""
+            batch_jobs, chunks, failed = round_
+            for chunk, ids_dev, probs_dev in chunks:
+                try:
+                    with trace("serve/fetch"):
+                        ids = np.asarray(ids_dev)
+                        probs = np.asarray(probs_dev)
+                except Exception:
+                    failed = True
+                    continue
+                for i, (job, k) in enumerate(chunk):
+                    cid = int(ids[i])
+                    job.results[k] = {
+                        "label": clf.class_labels[cid],
+                        "class_id": cid,
+                        "confidence": float(probs[i, cid]),
+                        "probs": [float(p) for p in probs[i]],
+                    }
+            for job in batch_jobs:
+                if failed and not all(
+                    job.results[k] is not None
+                    for k in range(len(job.images))
+                    if job.images[k] is not None
+                ):
+                    job.error = "device_error"
+                job.event.set()
+
+        # Depth-2 pipelining: round i+1's device calls DISPATCH before
+        # round i's results are fetched, so the fetch round trip (the
+        # dominant per-call cost on a remote link) overlaps the next
+        # round's compute. `pending` is the dispatched-but-unfetched
+        # round; when the queue goes quiet it finalizes within ~2 ms.
+        pending = None
         while not self._stop.is_set():
             try:
-                first = self._jobs.get(timeout=0.2)
+                first = self._jobs.get(timeout=0.002 if pending else 0.2)
             except queue.Empty:
+                if pending is not None:
+                    finalize(pending)
+                    pending = None
                 continue
             # Coalesce whole jobs until the device batch is full. A job is
             # never split across coalescing rounds, but a large /classify_
-            # batch job is chunked over several device calls below.
+            # batch job is chunked over several device calls.
             batch_jobs = [] if dead(first) else [first]
             total = len(first.images) if batch_jobs else 0
             while total < self.max_batch:
@@ -206,53 +274,12 @@ class ClassifierServer:
                 total += len(j.images)
             if not batch_jobs:
                 continue
-            # Flat view: (job, row-within-job) per decoded image.
-            rows = [
-                (job, k)
-                for job in batch_jobs
-                for k in range(len(job.images))
-                if job.images[k] is not None
-            ]
-            # Everything from assembly through the device calls is inside one
-            # recover-and-continue handler: any failure fails the affected
-            # requests but never kills the worker thread. Chunk size honors
-            # max_batch (which __init__ clamps to <= the compiled batch).
-            try:
-                for at in range(0, len(rows), self.max_batch):
-                    chunk = rows[at: at + self.max_batch]
-                    bsz = self._bucket_for(len(chunk), self._bucket_sizes)
-                    batch = np.zeros((bsz, side, side, 3), np.uint8)
-                    for i, (job, k) in enumerate(chunk):
-                        batch[i] = job.images[k]
-                    with trace("serve/device_call"):
-                        ids, probs = clf._predict(clf.variables, batch)
-                        ids = np.asarray(ids)
-                        probs = np.asarray(probs)
-                    for i, (job, k) in enumerate(chunk):
-                        cid = int(ids[i])
-                        job.results[k] = {
-                            "label": clf.class_labels[cid],
-                            "class_id": cid,
-                            "confidence": float(probs[i, cid]),
-                            "probs": [float(p) for p in probs[i]],
-                        }
-            except Exception:
-                # Device error mid-round: fail only jobs whose results are
-                # incomplete — a job fully served by an earlier successful
-                # chunk completes normally (its device work is not thrown
-                # away).
-                for job in batch_jobs:
-                    done = all(
-                        job.results[k] is not None
-                        for k in range(len(job.images))
-                        if job.images[k] is not None
-                    )
-                    if not done:
-                        job.error = "device_error"
-                    job.event.set()
-                continue
-            for job in batch_jobs:
-                job.event.set()
+            new_round = dispatch_round(batch_jobs)
+            if pending is not None:
+                finalize(pending)
+            pending = new_round
+        if pending is not None:
+            finalize(pending)
 
     def _preprocess(self, body: bytes):
         import cv2

@@ -492,9 +492,20 @@ def test_classify_batch_stream_first_results_early():
     real = clf._predict
     real(clf.variables, np.zeros((2, TINY.im_side, TINY.im_side, 3), np.uint8))
 
+    # Async-faithful slow device: dispatch returns immediately (like jax),
+    # the 0.5 s cost lands at RESULT FETCH (np.asarray) — matching how a
+    # remote device behaves under the pipelined worker.
+    class SlowFetch:
+        def __init__(self, val):
+            self.val = np.asarray(val)
+
+        def __array__(self, dtype=None, copy=None):
+            time.sleep(0.5)
+            return self.val if dtype is None else self.val.astype(dtype)
+
     def slow(variables, batch):
-        time.sleep(0.5)
-        return real(variables, batch)
+        ids, probs = real(variables, batch)
+        return SlowFetch(ids), probs
 
     clf._predict = slow
     srv = ClassifierServer(clf, port=0, max_inflight=64).start()
