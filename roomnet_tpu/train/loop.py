@@ -581,6 +581,17 @@ class Trainer:
                         self._to_global(y, from_local=True),
                         self._to_global(mask, from_local=True),
                     )
+                if x.shape[0] != n_real:
+                    # _pad_for_mesh cycle-padded a shrunk batch up to the
+                    # data-axis multiple: mask the duplicates out of the
+                    # loss, same as every other padding site.
+                    mask = np.zeros((x.shape[0],), np.float32)
+                    mask[:n_real] = 1.0
+                    return (
+                        self._to_global(x),
+                        self._to_global(y),
+                        self._to_global(mask),
+                    )
                 return self._to_global(x), self._to_global(y), None
 
             n = (train_reader.rows[1] - train_reader.rows[0]

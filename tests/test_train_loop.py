@@ -347,6 +347,57 @@ def test_trainer_sharded_feed_masks_unreadable_rows(tmp_path):
     assert int(state.step) == 4
 
 
+def test_trainer_replicated_mesh_masks_divisibility_pad(tmp_path):
+    """Replicated feed over a mesh: a batch shrunk by unreadable files is
+    cycle-padded up to the data-axis multiple — the pad rows must be
+    masked out of the loss (the last remaining padding site that used to
+    carry gradient weight)."""
+    import dataclasses
+
+    import cv2
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    d = tmp_path / "data"
+    rng = np.random.RandomState(0)
+    for cls in ("Kitchen", "Bedroom"):
+        (d / cls).mkdir(parents=True)
+        for i in range(8):
+            cv2.imwrite(str(d / cls / f"im_{i}.png"),
+                        rng.randint(0, 255, (40, 48, 3), np.uint8))
+    bad = d / "Kitchen" / "bad.png"
+    bad.write_text("not an image")
+    workdir = tmp_path / "run"
+    workdir.mkdir()
+    paths = sorted(str(p) for cls in ("Kitchen", "Bedroom")
+                   for p in (d / cls).iterdir())
+    with open(workdir / "train_list.txt", "w") as f:
+        for p in paths:
+            f.write(f"{p} {int('Bedroom' in p)}\n")
+    with open(workdir / "val_list.txt", "w") as f:
+        for p in paths[:4]:
+            f.write(f"{p} {int('Bedroom' in p)}\n")
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = TrainConfig(
+        data_dir=str(d),
+        train_list_fpath=str(workdir / "train_list.txt"),
+        val_list_fpath=str(workdir / "val_list.txt"),
+        stats_fpath=str(workdir / "stats.json"),
+        model_dir=str(workdir / "models"),
+        img_side=TINY.im_side, train_steps=1000, save_freq=1000,
+        val_batch_size=4, learn_rate=1e-3, l2_coeff=1e-4, seed=0,
+        phases=(Phase(until_step=1 << 62, batch_size=8),),
+        stall_timeout_s=0,
+    )
+    state = Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(
+        total_steps=4, log_every=100
+    )
+    assert int(state.step) == 4
+
+
 def test_trainer_dp_rounds_indivisible_batch(data_dir):
     """Reference batch sizes (45, 6, ...) aren't multiples of the data axis;
     the Trainer rounds them so P('data') sharding is valid instead of
