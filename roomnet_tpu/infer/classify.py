@@ -345,6 +345,28 @@ def classify_im_dir(
             it = tqdm(list(it))
         except ImportError:
             pass
+    xls_overflowed = False
+
+    def write_xls_row(i, fname, pred_label, pred_conf):
+        # BIFF2 rows are 16-bit; a >65534-image directory keeps its FULL
+        # results in the CSV twin while the legacy .xls carries what fits
+        # (warn once) — the reference's xlwt writer had the same wall,
+        # except it crashed there.
+        nonlocal xls_overflowed
+        if i + 1 > 0xFFFF:
+            if not xls_overflowed:
+                import warnings
+
+                warnings.warn(
+                    "results exceed the .xls (BIFF2) 65535-row limit; "
+                    "remaining rows are in the CSV only", stacklevel=2,
+                )
+                xls_overflowed = True
+            return
+        sheet.write(i + 1, 0, fname)
+        sheet.write(i + 1, 1, pred_label)
+        sheet.write(i + 1, 2, str(pred_conf))
+
     for i, fpath in it:
         if not ok[i]:
             continue
@@ -367,9 +389,7 @@ def classify_im_dir(
                     "copied unannotated", stacklevel=2,
                 )
                 shutil.copy(fpath, dst_dir)
-                sheet.write(i + 1, 0, fname)
-                sheet.write(i + 1, 1, pred_label)
-                sheet.write(i + 1, 2, str(pred_conf))
+                write_xls_row(i, fname, pred_label, pred_conf)
                 csv_writer.writerow([fname, pred_label, pred_conf])
                 continue
             h, w = im.shape[:2]
@@ -383,9 +403,7 @@ def classify_im_dir(
             cv2.imwrite(os.path.join(dst_dir, fname), im)
         else:
             shutil.copy(fpath, dst_dir)
-        sheet.write(i + 1, 0, fname)
-        sheet.write(i + 1, 1, pred_label)
-        sheet.write(i + 1, 2, str(pred_conf))
+        write_xls_row(i, fname, pred_label, pred_conf)
         csv_writer.writerow([fname, pred_label, pred_conf])
     csv_file.close()
     wb.save(xl_fpath)
