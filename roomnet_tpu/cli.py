@@ -415,6 +415,28 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    # Persistent XLA compile cache: every CLI invocation is a fresh
+    # process, and an uncached full-model compile costs minutes on a
+    # remote compiler. Honors JAX_COMPILATION_CACHE_DIR; default under
+    # the user cache dir. Best-effort (old jax versions, read-only fs).
+    import os
+
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(
+                os.environ.get("XDG_CACHE_HOME",
+                               os.path.expanduser("~/.cache")),
+                "roomnet_tpu", "jax_cache",
+            ),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
