@@ -695,8 +695,13 @@ class Trainer:
                 # First call of a (phase, batch-shape) signature triggers the
                 # XLA compile — minutes on a remote compiler in f32 mode, an
                 # expected silence the watchdog must not escalate on.
+                # mk-presence is part of the signature: the masked step is
+                # a different jit function, so its first call at an
+                # already-seen shape is still a fresh compile the watchdog
+                # must not escalate on.
                 sig = (ph.dropout_enabled, ph.dropout_rate,
-                       ph.compute_bn_mean_var, ph.update_bn_moving, x.shape)
+                       ph.compute_bn_mean_var, ph.update_bn_moving, x.shape,
+                       mk is not None)
                 first_compile = sig not in self._invoked_sigs
                 if first_compile and watchdog:
                     watchdog.pause()
