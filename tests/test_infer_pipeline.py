@@ -73,6 +73,32 @@ def test_bmp_classified_on_native_backend(classifier, tmp_path):
     assert ids[2] >= 0
 
 
+def test_predict_paths_empty_list(classifier):
+    ids, confs, ok = classifier.predict_paths([])
+    assert ids.shape == (0,) and confs.shape == (0, len(LABELS4))
+    assert ok.shape == (0,)
+
+
+def test_groundtruth_validation_skips_unreadable(classifier, tmp_path):
+    """Unreadable rows in the list file are excluded from scoring (the
+    reference would crash in cv2; we drop them like predict_paths does)."""
+    d = str(tmp_path / "imgs")
+    paths = _write_images(d, 3)
+    bad = os.path.join(d, "corrupt.jpg")
+    with open(bad, "w") as f:
+        f.write("nope")
+    ids, _, _ = classifier.predict_paths(paths)
+    lst = tmp_path / "list.txt"
+    with open(lst, "w") as f:
+        for p, i in zip(paths, ids):
+            f.write(f"{p} {int(i)}\n")
+        f.write(f"{bad} 0\n")
+    from roomnet_tpu.infer.classify import groundtruth_validation
+
+    stats = groundtruth_validation(classifier, str(lst))
+    assert stats["accuracy"] == 1.0  # the bad row didn't dilute the score
+
+
 def test_unreadable_files_skipped(classifier, tmp_path):
     d = str(tmp_path / "mix")
     paths = _write_images(d, 3)
