@@ -256,7 +256,10 @@ def cmd_serve(args):
     ClassifierServer(clf, host=args.host, port=args.port,
                      warmup=not args.no_warmup,
                      max_inflight=args.max_inflight,
-                     request_timeout_s=args.request_timeout).serve_forever()
+                     request_timeout_s=args.request_timeout,
+                     # Same dir the weights came from: POST /reload
+                     # hot-swaps to its newest checkpoint.
+                     model_dir=args.model_dir).serve_forever()
 
 
 def cmd_bench(args):

@@ -8,6 +8,12 @@ forward warm, micro-batching concurrent requests onto the device.
 Endpoints:
   GET  /healthz            -> 200 "ok"
   GET  /labels             -> JSON list of class labels
+  GET  /version            -> {"step": ..., "path": ...} of the serving
+                              weights (updated by /reload)
+  POST /reload             -> hot-swap to the max-step checkpoint in the
+                              model_dir fixed at startup (403 without
+                              one; 409 keeps the old weights if the new
+                              checkpoint fails a probe device call)
   GET  /metrics            -> JSON span registry (utils/profiling.SPANS):
                               per-span total_s/count/mean_ms, incl.
                               serve/device_call and serve/request
@@ -85,10 +91,19 @@ class ClassifierServer:
                  max_batch: int | None = None, warmup: bool = False,
                  max_inflight: int | None = None,
                  decode_workers: int | None = None,
-                 request_timeout_s: float = 30.0):
+                 request_timeout_s: float = 30.0,
+                 model_dir: str | None = None):
+        """model_dir: enables POST /reload — re-scan this checkpoint dir
+        (resume-latest semantics, the trainer's output) and atomically
+        swap the serving weights without a restart or recompile (the
+        jitted forward takes variables as an argument; in-flight device
+        calls keep the old pytree). The dir is FIXED at startup: the
+        reload endpoint never accepts a path from the network."""
         self.classifier = classifier
         self.host = host
         self.port = port
+        self.model_dir = model_dir
+        self.model_version: dict = {"step": None, "path": "initial"}
         # The jitted _predict is compiled for exactly classifier.batch_size
         # rows; coalescing more jobs than that would overflow the device
         # batch, so clamp (a larger max_batch would otherwise IndexError in
@@ -401,6 +416,55 @@ class ClassifierServer:
             for _ in range(acquired):
                 self._admit.release()
 
+    def _reload_latest(self):
+        """Load the max-step checkpoint from model_dir and swap it in.
+
+        Returns (status_code, payload). The swap is a single attribute
+        assignment AFTER the full load (atomic under the GIL); the jitted
+        forward receives variables per call, so no recompile and no torn
+        reads. Shape mismatches (e.g. a different num_classes checkpoint
+        landing in the dir) fail the reload and keep the old weights."""
+        if self.model_dir is None:
+            return 403, {"error": "server started without --model-dir; "
+                                  "reload disabled"}
+        from roomnet_tpu.params import schema
+        from roomnet_tpu.params.checkpoint import CheckpointStore
+
+        loaded = CheckpointStore(self.model_dir).load(cfg=self.classifier.cfg)
+        if loaded is None:
+            return 404, {"error": f"no checkpoint found in {self.model_dir}"}
+        var_flat, step = loaded
+        try:
+            variables = schema.unflatten_variables(
+                {k: np.asarray(v) for k, v in var_flat.items()},
+                self.classifier.cfg,
+            )
+            # Structural gate BEFORE the swap: the new tree must match the
+            # serving tree path-for-path and shape-for-shape. A device
+            # probe can't catch this — jit happily recompiles for new
+            # shapes and would serve silently wrong outputs (e.g. a
+            # different-num_classes head against this server's labels).
+            old_flat = schema.flatten_jax(self.classifier.variables)
+            new_flat = schema.flatten_jax(variables)
+            if set(old_flat) != set(new_flat):
+                raise ValueError(
+                    f"variable set differs: only-old="
+                    f"{sorted(set(old_flat) - set(new_flat))[:3]} only-new="
+                    f"{sorted(set(new_flat) - set(old_flat))[:3]}"
+                )
+            for k in old_flat:
+                if tuple(np.shape(new_flat[k])) != tuple(np.shape(old_flat[k])):
+                    raise ValueError(
+                        f"{k}: shape {tuple(np.shape(new_flat[k]))} != "
+                        f"serving {tuple(np.shape(old_flat[k]))}"
+                    )
+        except Exception as exc:  # noqa: BLE001
+            return 409, {"error": f"checkpoint rejected: {type(exc).__name__}: "
+                                  f"{exc}"}
+        self.classifier.variables = variables
+        self.model_version = {"step": int(step), "path": self.model_dir}
+        return 200, {"status": "reloaded", "step": int(step)}
+
     # -- http ---------------------------------------------------------------
     def _make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
@@ -428,6 +492,8 @@ class ClassifierServer:
                     self._send(200, {"status": "ok"})
                 elif self.path == "/labels":
                     self._send(200, server_self.classifier.class_labels)
+                elif self.path == "/version":
+                    self._send(200, server_self.model_version)
                 elif self.path == "/metrics":
                     from roomnet_tpu.utils.profiling import SPANS
 
@@ -441,6 +507,9 @@ class ClassifierServer:
                     self._classify_single()
                 elif path == "/classify_batch":
                     self._classify_batch(stream="stream=1" in query.split("&"))
+                elif path == "/reload":
+                    code, payload = server_self._reload_latest()
+                    self._send(code, payload)
                 else:
                     self._send(404, {"error": "not found"})
 

@@ -642,6 +642,60 @@ def test_mesh_backed_server_buckets_stay_shardable():
         srv.stop()
 
 
+def test_hot_reload_swaps_weights_without_restart(tmp_path):
+    """POST /reload: the daemon re-scans its model_dir (resume-latest) and
+    atomically swaps the serving weights — predictions change, /version
+    bumps, no restart/recompile. 403 without a model_dir; 404 on an empty
+    dir; a shape-incompatible checkpoint is rejected with 409 and the old
+    weights keep serving."""
+    import dataclasses
+
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(23), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    mdir = str(tmp_path / "models")
+    store = CheckpointStore(mdir)
+    srv = ClassifierServer(clf, port=0, model_dir=mdir).start()
+    try:
+        body = _img_bytes(seed=9)
+        # empty dir: 404, still serving the initial weights
+        st, out = _post(srv, "/reload", b"")
+        assert st == 404, out
+        st, before = _post(srv, "/classify", body)
+        assert st == 200
+
+        # drop a new checkpoint in, reload, predictions change
+        new_vars = init_variables(jax.random.PRNGKey(99), TINY)
+        store.save(new_vars, 7, suffix="0.9")
+        st, out = _post(srv, "/reload", b"")
+        assert st == 200 and out["step"] == 7, out
+        with urllib.request.urlopen(_url(srv, "/version"), timeout=10) as r:
+            assert json.loads(r.read())["step"] == 7
+        st, after = _post(srv, "/classify", body)
+        assert st == 200
+        assert before["probs"] != after["probs"]
+
+        # incompatible checkpoint (different num_classes): rejected, old
+        # weights keep serving
+        bad_cfg = dataclasses.replace(TINY, num_classes=3)
+        store.save(init_variables(jax.random.PRNGKey(1), bad_cfg), 9,
+                   suffix="bad")
+        st, out = _post(srv, "/reload", b"")
+        assert st == 409, out
+        st, still = _post(srv, "/classify", body)
+        assert st == 200 and still["probs"] == after["probs"]
+    finally:
+        srv.stop()
+
+
+def test_reload_disabled_without_model_dir(server):
+    st, out = _post(server, "/reload", b"")
+    assert st == 403 and "disabled" in out["error"]
+
+
 def test_warmup_compiles_before_serving():
     clf = RoomNetClassifier(
         init_variables(jax.random.PRNGKey(2), TINY), TINY,
