@@ -691,6 +691,43 @@ def test_hot_reload_swaps_weights_without_restart(tmp_path):
         srv.stop()
 
 
+def test_hot_reload_during_live_traffic(tmp_path):
+    """/reload racing a request burst: every request answers 200 (served
+    by either the old or new weights — the swap is atomic per device
+    call, never torn) and the daemon ends on the new version."""
+    import time
+
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(29), TINY), TINY,
+        batch_size=4, class_labels=LABELS4,
+    )
+    mdir = str(tmp_path / "models")
+    CheckpointStore(mdir).save(init_variables(jax.random.PRNGKey(31), TINY), 5)
+    srv = ClassifierServer(clf, port=0, max_inflight=64, model_dir=mdir).start()
+    try:
+        statuses = []
+        lock = threading.Lock()
+
+        def hit(i):
+            s, _ = _post(srv, "/classify", _img_bytes(seed=i % 4))
+            with lock:
+                statuses.append(s)
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(24)]
+        for t in threads:
+            t.start()
+        time.sleep(0.02)  # burst in flight
+        st, out = _post(srv, "/reload", b"")
+        assert st == 200 and out["step"] == 5
+        for t in threads:
+            t.join()
+        assert statuses and all(s == 200 for s in statuses), statuses
+    finally:
+        srv.stop()
+
+
 def test_reload_disabled_without_model_dir(server):
     st, out = _post(server, "/reload", b"")
     assert st == 403 and "disabled" in out["error"]
