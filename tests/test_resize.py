@@ -51,3 +51,53 @@ def test_identity_resize_is_noop():
     x = np.random.RandomState(0).randn(1, 16, 16, 3).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(resize_bilinear_tf1(x, (16, 16))), x)
     np.testing.assert_array_equal(np.asarray(resize_bilinear_half_pixel(x, (16, 16))), x)
+
+
+def _naive_resize(x, out_hw, convention):
+    """Independent per-pixel reference (pure loops over numpy): gathers +
+    lerps in float32, no matmuls — guards the interpolation-matrix
+    construction at shapes no committed fixture pins."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+
+    def coords(in_size, out_size):
+        out = []
+        scale = np.float32(in_size) / np.float32(out_size)
+        for d in range(out_size):
+            if convention == "tf1":
+                s = np.float32(d) * scale
+            else:  # half-pixel
+                s = (np.float32(d) + np.float32(0.5)) * scale - np.float32(0.5)
+                s = max(np.float32(0.0), s)
+            lo = min(int(np.floor(s)), in_size - 1)
+            hi = min(lo + 1, in_size - 1)
+            out.append((lo, hi, np.float32(s) - np.float32(lo)))
+        return out
+
+    ys, xs = coords(h, oh), coords(w, ow)
+    res = np.empty((b, oh, ow, c), np.float32)
+    for i, (ylo, yhi, fy) in enumerate(ys):
+        row = x[:, ylo] * (1 - fy) + x[:, yhi] * fy  # (b, w, c)
+        for j, (xlo, xhi, fx) in enumerate(xs):
+            res[:, i, j] = row[:, xlo] * (1 - fx) + row[:, xhi] * fx
+    return res
+
+
+@pytest.mark.parametrize("convention,fn", [
+    ("tf1", resize_bilinear_tf1),
+    ("half", resize_bilinear_half_pixel),
+])
+def test_resize_matches_naive_reference_at_arbitrary_shapes(convention, fn):
+    """Shape sweep vs the independent per-pixel implementation: up/down/
+    non-square/extreme ratios — geometries no TF fixture covers."""
+    rng = np.random.RandomState(13)
+    cases = [((7, 5), (13, 3)), ((31, 31), (17, 29)), ((4, 9), (9, 4)),
+             ((50, 20), (3, 44)), ((2, 2), (5, 5)), ((25, 25), (24, 24))]
+    for (h, w), (oh, ow) in cases:
+        x = rng.uniform(-2, 2, size=(2, h, w, 3)).astype(np.float32)
+        want = _naive_resize(x, (oh, ow), convention)
+        got = np.asarray(fn(x, (oh, ow)))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-5, atol=1e-5,
+            err_msg=f"{convention} {h}x{w}->{oh}x{ow}",
+        )
