@@ -1,0 +1,90 @@
+"""Training-mode BN + moving-average fold vs an independent numpy
+reference — the tf.layers semantics the curriculum phases depend on
+(reference network.py:64-67, :193): normalize with BIASED batch stats,
+update moving variance with the Bessel-corrected (unbiased) estimate,
+momentum fold new = m*old + (1-m)*batch. Previously pinned only
+indirectly (convergence runs, scan-equivalence)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from roomnet_tpu.models.roomnet import update_moving_stats
+from roomnet_tpu.ops import blocks as B
+
+
+def _bn(c, rng):
+    return {
+        "scale": jnp.asarray(rng.uniform(0.5, 2, c).astype(np.float32)),
+        "bias": jnp.asarray(rng.uniform(-1, 1, c).astype(np.float32)),
+        "mean": jnp.asarray(rng.uniform(-1, 1, c).astype(np.float32)),
+        "var": jnp.asarray(rng.uniform(0.5, 2, c).astype(np.float32)),
+    }
+
+
+def test_batch_norm_train_matches_numpy_reference():
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-3, 3, size=(4, 5, 6, 7)).astype(np.float32)
+    bn = _bn(7, rng)
+    y, st = B.batch_norm_train(jnp.asarray(x), bn, eps=1e-3)
+
+    mean = x.reshape(-1, 7).mean(0)
+    var = x.reshape(-1, 7).var(0)  # biased (numpy default ddof=0)
+    want = (x - mean) / np.sqrt(var + 1e-3) * np.asarray(bn["scale"]) \
+        + np.asarray(bn["bias"])
+    np.testing.assert_allclose(np.asarray(y), want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st.mean), mean, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.var), var, rtol=1e-4, atol=1e-5)
+    # the moving-update estimate is Bessel-corrected (fused-BN quirk)
+    n = 4 * 5 * 6
+    np.testing.assert_allclose(
+        np.asarray(st.var_unbiased), var * n / (n - 1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_batch_norm_train_dense_rank2():
+    """Dense-layer BN: stats over axis 0 only."""
+    rng = np.random.RandomState(5)
+    x = rng.uniform(-2, 2, size=(9, 4)).astype(np.float32)
+    bn = _bn(4, rng)
+    y, st = B.batch_norm_train(jnp.asarray(x), bn, eps=1e-3)
+    mean, var = x.mean(0), x.var(0)
+    want = (x - mean) / np.sqrt(var + 1e-3) * np.asarray(bn["scale"]) \
+        + np.asarray(bn["bias"])
+    np.testing.assert_allclose(np.asarray(y), want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st.var_unbiased), var * 9 / 8, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_update_moving_stats_momentum_fold():
+    """new = momentum*old + (1-momentum)*batch, with the UNBIASED variance
+    feeding the moving variance (tf.layers/fused-BN update semantics)."""
+    import jax
+
+    from roomnet_tpu.models.roomnet import RoomNetConfig, forward, init_variables
+
+    cfg = RoomNetConfig(num_classes=3, im_side=16, block_filters=(4,),
+                        block_depths=(1,), block_pools=((3, 1),),
+                        dense_units=(8,))
+    variables = init_variables(jax.random.PRNGKey(0), cfg)
+    x = np.random.RandomState(7).uniform(-1, 1, (5, 16, 16, 3)).astype(np.float32)
+    _, stats = forward(variables, jnp.asarray(x), cfg,
+                       use_batch_stats=True, collect_batch_stats=True)
+    key = "blocks/0/bn/0"
+    st = stats[key]
+    old = variables["blocks"][0]["bn"][0]
+    new = update_moving_stats(variables, stats, momentum=0.9)
+    nb = new["blocks"][0]["bn"][0]
+    np.testing.assert_allclose(
+        np.asarray(nb["mean"]),
+        0.9 * np.asarray(old["mean"]) + 0.1 * np.asarray(st.mean),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(nb["var"]),
+        0.9 * np.asarray(old["var"]) + 0.1 * np.asarray(st.var_unbiased),
+        rtol=1e-5, atol=1e-6,
+    )
+    # scale/bias untouched by the moving fold
+    np.testing.assert_array_equal(np.asarray(nb["scale"]), np.asarray(old["scale"]))
