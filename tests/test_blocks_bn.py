@@ -57,6 +57,33 @@ def test_batch_norm_train_dense_rank2():
     )
 
 
+def test_dropout_inverted_scaling_semantics():
+    """tf.nn.dropout parity: surviving elements scale by 1/(1-rate), the
+    rest are exactly zero; survival fraction ≈ 1-rate; deterministic per
+    key; rate as a TRACED scalar works (the reference feeds it at
+    runtime, network.py:54)."""
+    import jax
+
+    rng = np.random.RandomState(11)
+    x = rng.uniform(1.0, 2.0, size=(64, 64)).astype(np.float32)
+    key = jax.random.PRNGKey(4)
+    rate = 0.3
+    y = np.asarray(B.dropout(jnp.asarray(x), rate, key))
+    kept = y != 0
+    np.testing.assert_allclose(y[kept], (x / (1 - rate))[kept], rtol=1e-6)
+    assert abs(kept.mean() - (1 - rate)) < 0.03
+    # deterministic per key; different key -> different mask
+    y2 = np.asarray(B.dropout(jnp.asarray(x), rate, key))
+    np.testing.assert_array_equal(y, y2)
+    y3 = np.asarray(B.dropout(jnp.asarray(x), rate, jax.random.PRNGKey(5)))
+    assert (y != y3).any()
+    # traced rate inside jit
+    y4 = np.asarray(jax.jit(
+        lambda a, r, k: B.dropout(a, r, k)
+    )(jnp.asarray(x), jnp.float32(rate), key))
+    np.testing.assert_array_equal(y, y4)
+
+
 def test_update_moving_stats_momentum_fold():
     """new = momentum*old + (1-momentum)*batch, with the UNBIASED variance
     feeding the moving variance (tf.layers/fused-BN update semantics)."""
