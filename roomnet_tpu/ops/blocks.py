@@ -136,8 +136,11 @@ def batch_norm_train(
     axes = tuple(range(x.ndim - 1))
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=axes)
-    var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
-    var = jnp.maximum(var, 0.0)
+    # Two-pass variance (mean of squared deviations), like TF's fused BN —
+    # the one-pass E[x²]−E[x]² form loses ~1e-3 of the activations to f32
+    # cancellation (post-ReLU6 means are O(1)) and visibly shifts
+    # training-mode logits vs the TF oracle (tests/test_grad_golden.py).
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes)
     n = 1
     for a in axes:
         n *= x.shape[a]

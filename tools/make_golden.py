@@ -418,6 +418,342 @@ def make_forward_golden_size(im_side: int = 300):
           logit_vals.argmax(-1))
 
 
+def _tf_build_loss(tf, cfg, c, x, labels, l2_coeff, training, trainable_paths):
+    """Reference training-loss graph (network.py:56-59) from tf.nn
+    primitives, built inside the CURRENT default graph: mean sparse-softmax
+    CE on the ReLU6-clipped logits + ``l2_coeff * tf.nn.l2_loss(v)`` over
+    every trainable tensor (incl. BN gamma/beta, never the moving stats).
+
+    ``c`` maps flat param paths to tensors (constants OR variables — the
+    trajectory generator passes variables so tf.train can update them),
+    ``x`` is the normalized input tensor. ``training`` selects BN mode
+    (compute_bn_mean_var, network.py:193): batch statistics (fused 4D
+    kernel / tf.nn.moments on 2D) vs the stored moving stats.
+    Returns (ce, loss, logits) tensors.
+    """
+    eps = float(cfg.bn_eps)
+
+    def bn4(h, path):
+        # 4D: the fused kernel tf.layers uses on NHWC inputs.
+        if training:
+            h, _, _ = tf.nn.fused_batch_norm(
+                h, c[f"{path}/scale"], c[f"{path}/bias"],
+                epsilon=eps, is_training=True,
+            )
+        else:
+            h, _, _ = tf.nn.fused_batch_norm(
+                h, c[f"{path}/scale"], c[f"{path}/bias"],
+                mean=c[f"{path}/mean"], variance=c[f"{path}/var"],
+                epsilon=eps, is_training=False,
+            )
+        return h
+
+    for bi in range(len(cfg.block_filters)):
+        depth = cfg.block_depths[bi]
+        pool = cfg.block_pools[bi]
+        res_in = None
+        for d in range(depth):
+            x = tf.nn.conv2d(
+                x, c[f"blocks/{bi}/conv/{d}"],
+                strides=[1, 1, 1, 1], padding="VALID",
+            )
+            x = tf.nn.relu6(x)
+            if pool is not None:
+                k, st = pool
+                x = tf.nn.avg_pool2d(
+                    x, ksize=[1, k, k, 1], strides=[1, st, st, 1],
+                    padding="VALID",
+                )
+            x = bn4(x, f"blocks/{bi}/bn/{d}")
+            if d == 0:
+                res_in = x
+        if depth > 1:
+            resized = tf.image.resize_bilinear(
+                res_in, tf.shape(x)[1:3], align_corners=False,
+                half_pixel_centers=False,
+            )
+            x = bn4(x + resized, f"blocks/{bi}/res_bn")
+    x = tf.reshape(x, (x.shape[0], -1))
+
+    def bn2(h, path):
+        # 2D input: tf.layers falls back to the non-fused form; in
+        # training mode it normalizes with biased batch moments.
+        if training:
+            m, v = tf.nn.moments(h, axes=[0])
+        else:
+            m, v = c[f"{path}/mean"], c[f"{path}/var"]
+        inv = c[f"{path}/scale"] * tf.math.rsqrt(v + eps)
+        return h * inv + (c[f"{path}/bias"] - m * inv)
+
+    for di in range(len(cfg.dense_units) + 1):
+        x = tf.matmul(x, c[f"dense/{di}/kernel"])
+        if f"dense/{di}/bias" in c:
+            x = x + c[f"dense/{di}/bias"]
+        x = tf.nn.relu6(x)
+        if di < len(cfg.dense_units):
+            x = bn2(x, f"dense/{di}/bn")
+    logits = x
+    ce = tf.reduce_mean(
+        tf.nn.sparse_softmax_cross_entropy_with_logits(
+            labels=tf.constant(labels), logits=logits
+        )
+    )
+    l2 = tf.add_n([l2_coeff * tf.nn.l2_loss(c[p]) for p in trainable_paths])
+    return ce, ce + l2, logits
+
+
+def _tf_training_loss(cfg, params, x_norm, labels, l2_coeff, training):
+    """One-shot oracle: run the loss graph on constants and return
+    (ce, loss, logits, {path: dCE/d0}) as numpy (tests/test_grad_golden)."""
+    import tensorflow.compat.v1 as tf
+
+    from roomnet_tpu.params import schema
+
+    trainable_paths = [p for p in sorted(params) if schema.is_trainable_path(p)]
+    graph = tf.Graph()
+    with graph.as_default():
+        c = {p: tf.constant(v) for p, v in params.items()}
+        ce, loss, logits = _tf_build_loss(
+            tf, cfg, c, tf.constant(x_norm), labels, l2_coeff, training,
+            trainable_paths,
+        )
+        grads = tf.gradients(ce, [c[p] for p in trainable_paths])
+        grads = [
+            gr if gr is not None else tf.zeros_like(c[p])
+            for gr, p in zip(grads, trainable_paths)
+        ]
+        with tf.Session(graph=graph) as sess:
+            ce_v, loss_v, logit_v, grad_vs = sess.run([ce, loss, logits, grads])
+    return ce_v, loss_v, logit_v, dict(zip(trainable_paths, grad_vs))
+
+
+def _seeded_tiny_flat(rng):
+    """Seeded tests/tiny.py params as a flat {path: f32 ndarray} dict.
+
+    Glorot leaves BN at identity (scale 1, bias 0, mean 0, var 1) — fold
+    in seeded perturbations so every BN param carries signal in both modes.
+    Consumes draws from ``rng`` (call order is part of the fixture seed).
+    """
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    import jax
+
+    from roomnet_tpu.models.roomnet import init_variables
+    from roomnet_tpu.params import schema
+    from tiny import TINY
+
+    tiny_flat = schema.flatten_variables(
+        init_variables(jax.random.PRNGKey(20260818), TINY)
+    )
+    for p in list(tiny_flat):
+        a = tiny_flat[p]
+        if p.endswith("/scale"):
+            tiny_flat[p] = (a * rng.uniform(0.7, 1.3, a.shape)).astype(np.float32)
+        elif p.endswith("/bias") and "/bn" in p or p.endswith("res_bn/bias"):
+            tiny_flat[p] = rng.uniform(-0.3, 0.3, a.shape).astype(np.float32)
+        elif p.endswith("/mean"):
+            tiny_flat[p] = rng.normal(0.0, 0.3, a.shape).astype(np.float32)
+        elif p.endswith("/var"):
+            tiny_flat[p] = rng.uniform(0.5, 1.5, a.shape).astype(np.float32)
+    return {p: np.asarray(v, np.float32) for p, v in tiny_flat.items()}
+
+
+def make_grad_golden():
+    """Training-path gradient oracle: dL/dθ from TF1's own kernels.
+
+    The frozen reference checkpoint is inference-only (no loss graph), so —
+    like make_forward_golden_size — this rebuilds the reference training
+    loss from tf.nn primitives (helper above) and records tf.gradients of
+    the CE term w.r.t. every trainable tensor in BOTH BN modes, for two
+    cases consumed by tests/test_grad_golden.py:
+
+      * the 224 geometry with the converted reference weights on the
+        forward-golden batch — end-to-end realism. Training-mode BN parity
+        here is limited to ~1e-4/site by f32 reduction-order noise (batch
+        stats over 387k elements, amplified ~30x by rsqrt(var+eps)), so
+        its gates are calibrated, not tight.
+      * the tests/tiny.py geometry with seeded weights on a small batch —
+        reductions are tiny, noise vanishes, so ANY semantic divergence in
+        the backward ops (conv/pool/legacy-resize/BN/relu6/softmax-CE)
+        shows up against a tight (1e-5-class) gate.
+
+    Only CE-path gradients are stored: the L2 term's gradient is
+    analytically ``l2_coeff * v`` with identical constants on both sides.
+    The full-loss scalar pins the combined objective.
+    """
+    import sys
+
+    import tensorflow.compat.v1 as tf
+
+    tf.disable_eager_execution()
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    import jax
+
+    from roomnet_tpu.models import registry
+    from roomnet_tpu.models.roomnet import init_variables
+    from roomnet_tpu.params import schema
+    from tiny import TINY
+
+    l2_coeff = 6e-2  # reference train.py L2_WEIGHT_DECAY / TrainHParams default
+    out = {}
+
+    # --- 224 geometry, converted reference weights, forward-golden batch ---
+    cfg = registry.get("roomnet-224")
+    params = dict(np.load(os.path.join(os.path.dirname(__file__), "..",
+                                       "artifacts", "roomnet_params.npz")))
+    g = dict(np.load(os.path.join(GOLDEN_DIR, "forward_golden.npz")))
+    x_uint8 = g["x_uint8_bgr"]
+    x_norm = ((x_uint8[:, :, :, ::-1].astype(np.float64) / 255.0) * 2.0
+              - 1.0).astype(np.float32)
+    rng = np.random.RandomState(20260818)
+    labels = rng.randint(0, cfg.num_classes, size=x_uint8.shape[0]).astype(np.int32)
+    out["x_norm"] = x_norm
+    out["labels"] = labels
+    for mode in ("infbn", "trainbn"):
+        ce_v, loss_v, logit_v, grads = _tf_training_loss(
+            cfg, params, x_norm, labels, l2_coeff, training=(mode == "trainbn")
+        )
+        out[f"ce_{mode}"] = np.float32(ce_v)
+        out[f"loss_{mode}"] = np.float32(loss_v)
+        out[f"logits_{mode}"] = logit_v
+        for p, gv in grads.items():
+            out[f"grad_{mode}/{p}"] = gv
+        gmax = max(float(np.abs(gv).max()) for gv in grads.values())
+        print(f"grad golden [{mode}]: ce {ce_v:.6f} loss {loss_v:.6f} "
+              f"max|dCE/dθ| {gmax:.4f}")
+
+    # --- tiny geometry, seeded weights (noise-free semantic pin) ---
+    tiny_flat = _seeded_tiny_flat(rng)
+    tiny_x = rng.uniform(-1, 1, size=(4, TINY.im_side, TINY.im_side, 3)).astype(
+        np.float32
+    )
+    tiny_y = rng.randint(0, TINY.num_classes, size=4).astype(np.int32)
+    out["tiny_x"] = tiny_x
+    out["tiny_labels"] = tiny_y
+    for p, v in tiny_flat.items():
+        out[f"tiny_param/{p}"] = np.asarray(v, np.float32)
+    for mode in ("infbn", "trainbn"):
+        ce_v, loss_v, logit_v, grads = _tf_training_loss(
+            TINY, {p: np.asarray(v, np.float32) for p, v in tiny_flat.items()},
+            tiny_x, tiny_y, l2_coeff, training=(mode == "trainbn"),
+        )
+        out[f"tiny_ce_{mode}"] = np.float32(ce_v)
+        out[f"tiny_loss_{mode}"] = np.float32(loss_v)
+        out[f"tiny_logits_{mode}"] = logit_v
+        for p, gv in grads.items():
+            out[f"tiny_grad_{mode}/{p}"] = gv
+        gmax = max(float(np.abs(gv).max()) for gv in grads.values())
+        print(f"tiny grad golden [{mode}]: ce {ce_v:.6f} loss {loss_v:.6f} "
+              f"max|dCE/dθ| {gmax:.4f}")
+
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "grad_golden.npz"), **out)
+    print("grad golden written:", len(out), "arrays")
+
+
+def _tf_train_trajectory(cfg, params, x_uint8_bgr, labels, l2_coeff, training,
+                         steps, lr0, sched_steps):
+    """Run ``steps`` updates of tf.train.AdamOptimizer on the reference
+    loss graph (trainables as tf.Variables, moving stats as constants) and
+    return (per-step pre-update losses, final trainable values).
+
+    Mirrors the reference's optimizer wiring (network.py:36-37, :61-69):
+    continuously-decayed LR ``tf.train.exponential_decay(lr0, step,
+    sched_steps, 0.068)`` driven by a global step the minimize op
+    increments, and TF1 Adam (eps outside the bias correction). The loss
+    fetched alongside train_op is computed from PRE-update variables —
+    the same convention our train step's metrics["loss"] uses.
+    """
+    import tensorflow.compat.v1 as tf
+
+    from roomnet_tpu.params import schema
+
+    trainable_paths = [p for p in sorted(params) if schema.is_trainable_path(p)]
+    tset = set(trainable_paths)
+    graph = tf.Graph()
+    with graph.as_default():
+        c = {
+            p: (tf.Variable(v, name=p.replace("/", "__")) if p in tset
+                else tf.constant(v))
+            for p, v in sorted(params.items())
+        }
+        # normalize_bgr_uint8 parity: BGR->RGB, f32, /255*2-1 (f32 math).
+        x = (tf.cast(tf.constant(x_uint8_bgr[..., ::-1]), tf.float32)
+             / 255.0) * 2.0 - 1.0
+        ce, loss, logits = _tf_build_loss(
+            tf, cfg, c, x, labels, l2_coeff, training, trainable_paths
+        )
+        gstep = tf.Variable(0, trainable=False, dtype=tf.int64)
+        lr = tf.train.exponential_decay(lr0, gstep, sched_steps, 0.068,
+                                        staircase=False)
+        opt = tf.train.AdamOptimizer(lr, beta1=0.9, beta2=0.999, epsilon=1e-8)
+        train_op = opt.minimize(
+            loss, var_list=[c[p] for p in trainable_paths], global_step=gstep
+        )
+        with tf.Session(graph=graph) as sess:
+            sess.run(tf.global_variables_initializer())
+            losses = []
+            for _ in range(steps):
+                loss_v, _ = sess.run([loss, train_op])
+                losses.append(loss_v)
+            final = sess.run({p: c[p] for p in trainable_paths})
+    return np.asarray(losses, np.float32), final
+
+
+def make_traj_golden(steps: int = 6):
+    """Training-TRAJECTORY oracle: K full optimizer steps from TF1's own
+    kernels (tf.gradients + tf.train.AdamOptimizer + exponential_decay).
+
+    The grad golden pins one backward pass; this pins the composed update
+    loop — gradient -> Adam moments/bias-correction -> LR schedule clock ->
+    parameter application — by recording the per-step pre-update losses
+    and the final trainable values after ``steps`` updates on a fixed
+    batch, in both BN modes, at the tests/tiny.py geometry (reductions
+    small => f32 noise can't mask a semantic slip). sched_steps=50 makes
+    the decay move visibly across the run (lr falls ~28%), so a schedule
+    clock that is off by one step fails the gate.
+    Consumed by tests/test_traj_golden.py.
+    """
+    import tensorflow.compat.v1 as tf
+
+    tf.disable_eager_execution()
+    rng = np.random.RandomState(20260819)
+    tiny_flat = _seeded_tiny_flat(rng)
+    from tiny import TINY  # path set up by _seeded_tiny_flat
+
+    x_uint8 = rng.randint(0, 256, size=(4, TINY.im_side, TINY.im_side, 3)
+                          ).astype(np.uint8)
+    labels = rng.randint(0, TINY.num_classes, size=4).astype(np.int32)
+    out = {
+        "x_uint8_bgr": x_uint8,
+        "labels": labels,
+        "steps": np.int32(steps),
+        "lr0": np.float32(2e-4),
+        "sched_steps": np.int32(50),
+        "l2_coeff": np.float32(6e-2),
+    }
+    for p, v in tiny_flat.items():
+        out[f"traj_param/{p}"] = v
+    for mode in ("infbn", "trainbn"):
+        losses, final = _tf_train_trajectory(
+            TINY, tiny_flat, x_uint8, labels, 6e-2,
+            training=(mode == "trainbn"), steps=steps, lr0=2e-4,
+            sched_steps=50,
+        )
+        out[f"losses_{mode}"] = losses
+        for p, v in final.items():
+            out[f"final_{mode}/{p}"] = v
+        drift = max(
+            float(np.abs(final[p] - tiny_flat[p]).max()) for p in final
+        )
+        print(f"traj golden [{mode}]: losses {np.round(losses, 5)} "
+              f"max|Δθ| after {steps} steps: {drift:.2e}")
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "traj_golden.npz"), **out)
+    print("traj golden written:", len(out), "arrays")
+
+
 if __name__ == "__main__":
     # Must sit BELOW every generator def: this module executes top-to-bottom,
     # so a mid-file __main__ block would NameError on later definitions.
@@ -426,6 +762,10 @@ if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     if "--valset-only" in _sys.argv:
         make_valset_golden()
+    elif "--grad-only" in _sys.argv:
+        make_grad_golden()
+    elif "--traj-only" in _sys.argv:
+        make_traj_golden()
     elif "--golden-300-only" in _sys.argv:
         make_forward_golden_size(300)
     elif "--golden-600-only" in _sys.argv:
@@ -439,3 +779,5 @@ if __name__ == "__main__":
         make_valset_golden()
         make_forward_golden_size(300)
         make_forward_golden_size(600)
+        make_grad_golden()
+        make_traj_golden()
