@@ -157,6 +157,15 @@ class RoomNetClassifier:
         im = cv2.imread(fpath)
         if im is None:
             return None
+        return self.prep_decoded(im)
+
+    def prep_decoded(self, im: np.ndarray) -> np.ndarray:
+        """Host preprocess for an already-decoded BGR image: center-crop,
+        then resize to host_side. The ONE copy of this sequence — the
+        serving daemon's byte-decode path calls it too, so file-path and
+        HTTP inference stay pixel-identical on the same decoded image."""
+        import cv2
+
         im = center_crop(im)
         if im.shape[0] != self.host_side or im.shape[1] != self.host_side:
             im = cv2.resize(im, (self.host_side, self.host_side))

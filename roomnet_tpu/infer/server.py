@@ -235,21 +235,26 @@ class ClassifierServer:
             served by an earlier successful chunk completes normally."""
             batch_jobs, chunks, failed = round_
             for chunk, ids_dev, probs_dev in chunks:
+                # Result assembly stays INSIDE the recover-and-continue
+                # handler: an exception here (fetch error, or e.g. a
+                # class_labels list shorter than the model's head) must
+                # fail the round as device_error, not kill the worker
+                # thread and 504 every later request.
                 try:
                     with trace("serve/fetch"):
                         ids = np.asarray(ids_dev)
                         probs = np.asarray(probs_dev)
+                    for i, (job, k) in enumerate(chunk):
+                        cid = int(ids[i])
+                        job.results[k] = {
+                            "label": clf.class_labels[cid],
+                            "class_id": cid,
+                            "confidence": float(probs[i, cid]),
+                            "probs": [float(p) for p in probs[i]],
+                        }
                 except Exception:
                     failed = True
                     continue
-                for i, (job, k) in enumerate(chunk):
-                    cid = int(ids[i])
-                    job.results[k] = {
-                        "label": clf.class_labels[cid],
-                        "class_id": cid,
-                        "confidence": float(probs[i, cid]),
-                        "probs": [float(p) for p in probs[i]],
-                    }
             for job in batch_jobs:
                 if failed and not all(
                     job.results[k] is not None
@@ -299,17 +304,13 @@ class ClassifierServer:
     def _preprocess(self, body: bytes):
         import cv2
 
-        from roomnet_tpu.data.loader import center_crop
-
         im = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
         if im is None:
             return None
-        im = center_crop(im)
-        side = getattr(self.classifier, "host_side",
-                       self.classifier.cfg.im_side)
-        if im.shape[0] != side or im.shape[1] != side:
-            im = cv2.resize(im, (side, side))
-        return np.ascontiguousarray(im)
+        # Shared crop/resize with the file path (classify.prep_decoded):
+        # HTTP and predict_paths must stay pixel-identical on the same
+        # decoded image.
+        return self.classifier.prep_decoded(im)
 
     # -- request plumbing (admission -> decode -> device -> result) ---------
     def _run_job(self, bodies: list[bytes], budget_s: float | None = None):
@@ -430,7 +431,16 @@ class ClassifierServer:
         from roomnet_tpu.params import schema
         from roomnet_tpu.params.checkpoint import CheckpointStore
 
-        loaded = CheckpointStore(self.model_dir).load(cfg=self.classifier.cfg)
+        try:
+            # Inside the 409 guard: a truncated/corrupt file matching the
+            # checkpoint pattern must answer "rejected, old weights kept",
+            # not crash the handler with no HTTP status.
+            loaded = CheckpointStore(self.model_dir).load(
+                cfg=self.classifier.cfg
+            )
+        except Exception as exc:  # noqa: BLE001
+            return 409, {"error": f"checkpoint rejected: {type(exc).__name__}: "
+                                  f"{exc}"}
         if loaded is None:
             return 404, {"error": f"no checkpoint found in {self.model_dir}"}
         var_flat, step = loaded
@@ -458,6 +468,30 @@ class ClassifierServer:
                         f"{k}: shape {tuple(np.shape(new_flat[k]))} != "
                         f"serving {tuple(np.shape(old_flat[k]))}"
                     )
+            # Mesh-backed classifiers: place the tree in the jit's param
+            # sharding ONCE here — unflatten's single-device arrays would
+            # otherwise be re-sharded on every later device call.
+            mesh = getattr(self.classifier, "mesh", None)
+            if mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                variables = jax.device_put(variables, NamedSharding(mesh, P()))
+            # Probe device call (the endpoint contract): one
+            # smallest-bucket forward on the NEW weights must complete and
+            # return finite probabilities before the swap — catches what
+            # the structural gate can't (NaN/Inf weight sets with correct
+            # shapes). Also warms the transfer, so the first real request
+            # after the swap pays nothing.
+            side = getattr(self.classifier, "host_side",
+                           self.classifier.cfg.im_side)
+            _, probs = self.classifier._predict(
+                variables,
+                np.zeros((self._bucket_sizes[0], side, side, 3), np.uint8),
+            )
+            if not np.all(np.isfinite(np.asarray(probs))):
+                raise ValueError("probe device call produced non-finite "
+                                 "probabilities")
         except Exception as exc:  # noqa: BLE001
             return 409, {"error": f"checkpoint rejected: {type(exc).__name__}: "
                                   f"{exc}"}

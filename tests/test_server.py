@@ -744,3 +744,109 @@ def test_warmup_compiles_before_serving():
         assert status == 200 and out["label"] in LABELS4
     finally:
         srv.stop()
+
+
+def test_reload_corrupt_checkpoint_file_rejected(tmp_path):
+    """A garbage file matching the checkpoint pattern at the max step must
+    answer 409 with the old weights kept — not crash the handler thread
+    with no HTTP status (the load itself sits inside the reject guard)."""
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(41), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    mdir = tmp_path / "models"
+    CheckpointStore(str(mdir)).save(
+        init_variables(jax.random.PRNGKey(42), TINY), 5
+    )
+    srv = ClassifierServer(clf, port=0, model_dir=str(mdir)).start()
+    try:
+        st, out = _post(srv, "/reload", b"")
+        assert st == 200 and out["step"] == 5
+        # a truncated copy landing in the dir at a LATER step
+        (mdir / "roomnet--0.9--9.npz").write_bytes(b"not a zipfile")
+        st, out = _post(srv, "/reload", b"")
+        assert st == 409 and "rejected" in out["error"], out
+        with urllib.request.urlopen(_url(srv, "/version"), timeout=10) as r:
+            assert json.loads(r.read())["step"] == 5  # old weights kept
+        st, out = _post(srv, "/classify", _img_bytes())
+        assert st == 200
+    finally:
+        srv.stop()
+
+
+def test_reload_probe_rejects_nonfinite_weights(tmp_path):
+    """The documented probe device call: a checkpoint whose shapes pass
+    the structural gate but whose weights produce NaN probabilities is
+    rejected with 409 and the old weights keep serving."""
+    from roomnet_tpu.params import schema
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(43), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    mdir = str(tmp_path / "models")
+    store = CheckpointStore(mdir)
+    flat = schema.flatten_variables(init_variables(jax.random.PRNGKey(44), TINY))
+    flat["dense/0/kernel"] = np.full_like(
+        np.asarray(flat["dense/0/kernel"]), np.nan
+    )
+    store.save(schema.unflatten_variables(flat, TINY), 7, suffix="nan")
+    srv = ClassifierServer(clf, port=0, model_dir=mdir).start()
+    try:
+        body = _img_bytes(seed=3)
+        st, before = _post(srv, "/classify", body)
+        assert st == 200
+        st, out = _post(srv, "/reload", b"")
+        assert st == 409 and "non-finite" in out["error"], out
+        st, still = _post(srv, "/classify", body)
+        assert st == 200 and still["probs"] == before["probs"]
+    finally:
+        srv.stop()
+
+
+def test_worker_survives_result_assembly_error():
+    """An exception while assembling per-row results (here: an empty
+    class_labels list) must fail that round as device_error (503), NOT
+    kill the device-worker thread — the next request must still be
+    served."""
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(45), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0).start()
+    try:
+        good = list(LABELS4)
+        clf.class_labels = []  # IndexError on any predicted class id
+        st, out = _post(srv, "/classify", _img_bytes(seed=5))
+        assert st == 503 and "inference backend" in out["error"], out
+        clf.class_labels = good
+        st, out = _post(srv, "/classify", _img_bytes(seed=5))
+        assert st == 200 and out["label"] in LABELS4, out
+    finally:
+        srv.stop()
+
+
+def test_server_matches_predict_paths_on_same_bytes(tmp_path):
+    """HTTP /classify and the file path (predict_paths) share ONE host
+    preprocess (classify.prep_decoded), so the same image bytes must
+    yield the identical class id and confidence through both surfaces."""
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(47), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    body = _img_bytes(seed=11)
+    p = tmp_path / "img.png"
+    p.write_bytes(body)
+    ids, confs, ok = clf.predict_paths([str(p)])
+    assert ok[0]
+    srv = ClassifierServer(clf, port=0).start()
+    try:
+        st, out = _post(srv, "/classify", body)
+        assert st == 200
+        assert out["class_id"] == int(ids[0])
+        assert abs(out["confidence"] - float(confs[0][int(ids[0])])) < 1e-6
+    finally:
+        srv.stop()
