@@ -255,6 +255,35 @@ class Trainer:
         local = global_batch // n_proc
         return (pid * local, (pid + 1) * local)
 
+    def _feeder_batch(self, mesh_bs: int, n_usable: int) -> int:
+        """Clamp the nominal batch to the dataset size BEFORE slicing it
+        into sharded-feed rows. TrainFeeder clamps its batch internally
+        anyway; rows computed against the un-clamped batch would then fail
+        its range check — a dataset smaller than the phase batch must
+        train under feed_mode="sharded" exactly like it does replicated
+        (where the feeder shrinks gracefully)."""
+        eff = min(mesh_bs, n_usable)
+        if self.tc.feed_mode == "sharded" and self.mesh is not None:
+            import math
+
+            # The global batch must slice evenly into per-process rows AND
+            # shard evenly over the mesh's data axis (fixed local shapes —
+            # there is no per-process pad that keeps the union divisible).
+            # Rounding DOWN drops < quantum tail rows per epoch, matching
+            # the feeder's own epoch-tail truncation.
+            quantum = math.lcm(
+                jax.process_count(), int(self.mesh.shape.get("data", 1))
+            )
+            eff = (eff // quantum) * quantum
+            if eff == 0:
+                raise ValueError(
+                    f"sharded feed: {n_usable} usable rows cannot fill one "
+                    f"batch quantum of {quantum} (process count x data "
+                    f"axis); use feed_mode='replicated' for datasets this "
+                    f"small"
+                )
+        return eff
+
     def _pad_for_mesh(self, x, y=None):
         """Pad a host batch up to a multiple of the 'data' axis by cycling
         rows. Config-time rounding (_mesh_batch) handles the common case;
@@ -437,7 +466,8 @@ class Trainer:
                 all_stats = json.load(f)
 
         ph = phase_at(tc.phases, start_step)
-        mesh_bs = self._mesh_batch(ph.batch_size)
+        n_usable = sum(1 for l in train_txt if str(l).strip())
+        mesh_bs = self._feeder_batch(self._mesh_batch(ph.batch_size), n_usable)
         train_reader = TrainFeeder(
             train_txt, batch_size=mesh_bs,
             batches_per_queue=tc.batches_per_queue,
@@ -644,7 +674,9 @@ class Trainer:
                 if new_ph.batch_size != ph.batch_size:
                     train_reader.close()
                     pending = None
-                    mesh_bs = self._mesh_batch(new_ph.batch_size)
+                    mesh_bs = self._feeder_batch(
+                        self._mesh_batch(new_ph.batch_size), n_usable
+                    )
                     train_reader = TrainFeeder(
                         train_txt, batch_size=mesh_bs,
                         batches_per_queue=tc.batches_per_queue, shuffle=True,

@@ -718,3 +718,28 @@ def test_trainer_with_orbax_backend(data_dir):
     # resume continues from the latest orbax checkpoint
     state2 = Trainer(tc, cfg).train(total_steps=2, log_every=100)
     assert int(state2.step) > 6
+
+
+def test_trainer_sharded_feed_dataset_smaller_than_batch(data_dir):
+    """feed_mode="sharded" with a dataset smaller than the phase batch:
+    the nominal batch is clamped to the dataset size BEFORE the row slice
+    is computed. (TrainFeeder clamps internally either way; rows computed
+    against the un-clamped batch used to fail its range check and crash
+    at startup, while replicated mode shrank gracefully.)"""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=32),)),
+        feed_mode="sharded",
+    )
+    state = Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(
+        total_steps=2, log_every=100
+    )
+    assert int(state.step) == 2
