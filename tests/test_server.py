@@ -829,6 +829,47 @@ def test_worker_survives_result_assembly_error():
         srv.stop()
 
 
+def test_reload_on_mesh_backed_classifier(tmp_path):
+    """/reload with a mesh-sharded classifier: the new tree is re-placed in
+    the jit's replicated param sharding once at reload time, the probe runs
+    a data-axis-sized bucket through the sharded jit, and post-swap answers
+    match a fresh single-device classifier on the same weights."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(48), TINY), TINY,
+        batch_size=8, class_labels=LABELS4, mesh=make_mesh(8, 1),
+    )
+    new_vars = init_variables(jax.random.PRNGKey(49), TINY)
+    mdir = str(tmp_path / "models")
+    CheckpointStore(mdir).save(new_vars, 12)
+    srv = ClassifierServer(clf, port=0, model_dir=mdir).start()
+    try:
+        body = _img_bytes(seed=21)
+        st, out = _post(srv, "/reload", b"")
+        assert st == 200 and out["step"] == 12, out
+        # swapped tree lives on every mesh device (placed once, not
+        # re-transferred per call)
+        leaf = jax.tree_util.tree_leaves(clf.variables)[0]
+        assert len(leaf.sharding.device_set) == 8
+        st, served = _post(srv, "/classify", body)
+        assert st == 200
+        ref = RoomNetClassifier(
+            new_vars, TINY, batch_size=1, class_labels=LABELS4
+        )
+        im = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+        ids, probs = ref._predict(ref.variables, ref.prep_decoded(im)[None])
+        assert served["class_id"] == int(np.asarray(ids)[0])
+        assert abs(
+            served["confidence"] - float(np.asarray(probs)[0, served["class_id"]])
+        ) < 1e-5
+    finally:
+        srv.stop()
+
+
 def test_server_matches_predict_paths_on_same_bytes(tmp_path):
     """HTTP /classify and the file path (predict_paths) share ONE host
     preprocess (classify.prep_decoded), so the same image bytes must
