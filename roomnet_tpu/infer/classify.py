@@ -296,6 +296,19 @@ class RoomNetClassifier:
                             pred_dev, probs_dev = self._predict(
                                 self.variables, x_dev
                             )
+                            # Start the device->host copy NOW (non-blocking,
+                            # queued behind the batch's compute): the
+                            # results trickle back overlapped with the
+                            # remaining decode work, so the final
+                            # device_get is a collection, not a round trip
+                            # per array — measured 2.6 s -> ~0 for a
+                            # 1839-image run when the relay RTT wanders
+                            # high.
+                            # getattr: _predict is an instance attribute
+                            # tests/callers may stub with plain ndarrays.
+                            for a in (pred_dev, probs_dev):
+                                getattr(a, "copy_to_host_async",
+                                        lambda: None)()
                         entries.append((ok, n_kept, pred_dev, probs_dev))
                     depth.release()
             except BaseException:

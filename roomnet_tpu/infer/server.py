@@ -223,6 +223,15 @@ class ClassifierServer:
                         batch[i] = job.images[k]
                     with trace("serve/device_call"):
                         ids_dev, probs_dev = clf._predict(clf.variables, batch)
+                        # Start the device->host copies now (non-blocking,
+                        # queued behind this chunk's compute): by the time
+                        # finalize() runs — a full pipelined round later —
+                        # the bytes are already on the host, so its fetch
+                        # is a collection, not a round trip per array.
+                        # getattr: _predict is an instance attribute tests
+                        # and callers may stub with plain-ndarray outputs.
+                        for a in (ids_dev, probs_dev):
+                            getattr(a, "copy_to_host_async", lambda: None)()
                     chunks.append((chunk, ids_dev, probs_dev))
             except Exception:
                 return batch_jobs, chunks, True
