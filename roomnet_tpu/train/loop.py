@@ -562,16 +562,33 @@ class Trainer:
         pending = None  # (x_dev, y_dev) already on device
 
         sharded = train_reader.rows is not None
+        consec_synthetic = 0  # sharded feed: local slice fully unreadable
 
         def fetch_host_batch():
+            nonlocal consec_synthetic
             if sharded:
                 # Sharded feed: NEVER skip — a per-rank skip would desync
                 # the ranks' batch streams and hang the collectives. An
                 # unreadable (or fully-synthetic) local slice contributes
-                # zero loss weight via the row mask instead.
+                # zero loss weight via the row mask instead (and a batch
+                # with zero real rows fleet-wide is a state no-op inside
+                # the step — see make_train_step). But a local slice that
+                # stays synthetic for a FULL epoch means this rank's files
+                # are gone: fail loudly like the replicated path rather
+                # than mask-zero forever.
                 x, y = train_reader.dequeue()
                 lo, hi = train_reader.rows
                 n_real = 0 if train_reader.last_batch_synthetic else x.shape[0]
+                if n_real == 0:
+                    consec_synthetic += 1
+                    if consec_synthetic > max(train_reader.batches_per_epoch, 1):
+                        raise RuntimeError(
+                            "sharded feed: every batch in a full epoch of "
+                            "this process's row slice was unreadable — "
+                            "dataset files missing or corrupt on this host"
+                        )
+                else:
+                    consec_synthetic = 0
                 return _cycle_pad(x, hi - lo), _cycle_pad(y, hi - lo), n_real
             # Skip synthetic batches (whole batch unreadable — fabricated
             # zeros labeled class 0): a silent full-batch gradient step on

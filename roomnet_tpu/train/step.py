@@ -155,6 +155,24 @@ def make_train_step(
             merged = schema.unflatten_jax({**state.train_vars, **frozen_vars}, cfg)
             updated = update_moving_stats(merged, bn_stats, cfg.bn_momentum)
             _, frozen_vars = schema.partition_flat(schema.flatten_jax(updated))
+        if row_mask is not None:
+            # A batch with NO real rows (every rank's slice unreadable →
+            # fully cycle-padded/synthetic) must be a state no-op: the
+            # masked CE is zero but the L2 term still produces gradients,
+            # Adam moments would advance, and BN moving averages would
+            # absorb zero-image statistics. Gating with `where` keeps all
+            # ranks executing the identical program (a per-rank skip would
+            # desync the collectives); only the step clock advances.
+            has_real = jnp.sum(row_mask) > 0
+
+            def _keep(new, old):
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(has_real, n, o), new, old
+                )
+
+            new_train_vars = _keep(new_train_vars, state.train_vars)
+            new_opt_state = _keep(new_opt_state, state.opt_state)
+            frozen_vars = _keep(frozen_vars, state.frozen_vars)
         lr = exponential_decay(hp.learn_rate, hp.num_steps)(state.step)
         hits = (jnp.argmax(logits, -1) == y).astype(jnp.float32)
         if row_mask is None:

@@ -743,3 +743,33 @@ def test_trainer_sharded_feed_dataset_smaller_than_batch(data_dir):
         total_steps=2, log_every=100
     )
     assert int(state.step) == 2
+
+
+def test_trainer_sharded_feed_refuses_fully_unreadable_dataset(data_dir, tmp_path):
+    """Sharded-feed twin of the replicated refuse test: mask-not-skip
+    handles unreadable ROWS, but a row slice that stays fully synthetic
+    for a whole epoch (dataset gone) must raise, not mask-zero forever
+    while the step clock runs."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.data.dataset import extract_fpaths
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=8),)),
+        save_freq=1000, feed_mode="sharded",
+    )
+    extract_fpaths(tc.data_dir, tc.train_list_fpath, tc.val_list_fpath,
+                   str(tmp_path / "labels.json"))
+    for cls in ("Kitchen", "Bedroom"):
+        for p in (data_dir / "data" / cls).iterdir():
+            p.write_text("corrupted")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(
+            total_steps=50, log_every=100
+        )

@@ -242,3 +242,39 @@ def test_multi_step_row_mask_matches_shrunk_batch(batch):
             np.asarray(state_seq.train_vars[k]),
             atol=1e-3, rtol=0, err_msg=k,
         )
+
+
+def test_all_masked_batch_is_a_state_noop(batch):
+    """A batch whose row_mask is ALL zeros (every rank's slice unreadable
+    under the sharded feed) must leave params, Adam moments, AND BN moving
+    stats untouched — the masked CE is zero but the L2 term alone would
+    otherwise decay weights and the BN stats would absorb zero-image
+    statistics. Only the step clock advances (the LR schedule and the
+    outer loop keep their meaning)."""
+    hp = TrainHParams(compute_bn_mean_var=True, update_bn_moving=True,
+                      l2_coeff=6e-2)
+    state = init_train_state(init_variables(jax.random.PRNGKey(3), TINY), hp)
+    step = jax.jit(make_train_step(hp, TINY))
+    x, y = batch
+    before_train = {k: np.asarray(v) for k, v in state.train_vars.items()}
+    before_frozen = {k: np.asarray(v) for k, v in state.frozen_vars.items()}
+    before_opt = jax.tree_util.tree_map(np.asarray, state.opt_state)
+    zero_mask = jnp.zeros((x.shape[0],), jnp.float32)
+    state2, metrics = step(state, x, y, jax.random.PRNGKey(0), zero_mask)
+    assert int(state2.step) == int(state.step) + 1
+    for k, v in state2.train_vars.items():
+        np.testing.assert_array_equal(before_train[k], np.asarray(v), err_msg=k)
+    for k, v in state2.frozen_vars.items():
+        np.testing.assert_array_equal(before_frozen[k], np.asarray(v), err_msg=k)
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, before_opt,
+        jax.tree_util.tree_map(np.asarray, state2.opt_state)
+    )
+    # a HALF-masked batch still trains (the gate is all-or-nothing)
+    half = jnp.concatenate([jnp.ones(4), jnp.zeros(4)]).astype(jnp.float32)
+    state3, _ = step(state, x, y, jax.random.PRNGKey(0), half)
+    changed = any(
+        not np.array_equal(before_train[k], np.asarray(v))
+        for k, v in state3.train_vars.items()
+    )
+    assert changed
