@@ -193,15 +193,10 @@ def cmd_doctor(args):
 
 
 def cmd_convert_to_tf(args):
-    import numpy as np
+    from roomnet_tpu.params.export_tf import export_params_file
 
-    from roomnet_tpu.params.export_tf import export_tf_checkpoint
-
-    flat = dict(np.load(args.params))
-    flat = {k: v for k, v in flat.items()
-            if not k.startswith(("opt/", "meta/"))}
-    path = export_tf_checkpoint(flat, args.out)
-    print(f"exported {len(flat)} tensors -> {path} "
+    path, n = export_params_file(args.params, args.out)
+    print(f"exported {n} tensors -> {path} "
           f"(pair with the reference roomnet.meta)")
 
 
@@ -417,11 +412,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None):
-    # Persistent XLA compile cache: every CLI invocation is a fresh
-    # process, and an uncached full-model compile costs minutes on a
-    # remote compiler. Honors JAX_COMPILATION_CACHE_DIR; default under
-    # the user cache dir. Best-effort (old jax versions, read-only fs).
+def _enable_compile_cache():
+    """Persistent XLA compile cache: every CLI invocation is a fresh
+    process, and an uncached full-model compile costs minutes on a
+    remote compiler. Honors JAX_COMPILATION_CACHE_DIR; default under
+    the user cache dir. Best-effort (old jax versions, read-only fs)."""
     import os
 
     try:
@@ -440,7 +435,21 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+# Subcommands that compile on a device. Everything else (plot, doctor,
+# label, the TF converters, --help) must keep the module's lazy-import
+# design: no multi-second jax import, no cache-dir mkdir.
+_DEVICE_CMDS = frozenset(
+    ("cmd_train", "cmd_infer", "cmd_validate", "cmd_serve", "cmd_bench",
+     "cmd_export")
+)
+
+
+def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.fn.__name__ in _DEVICE_CMDS:
+        _enable_compile_cache()
     return args.fn(args)
 
 

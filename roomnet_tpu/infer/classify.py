@@ -260,6 +260,13 @@ class RoomNetClassifier:
                 return ok, len(kept), full
 
             def stage_decode(start):
+                # Entry check BEFORE touching the semaphore: after an
+                # abort every already-queued future still runs serially
+                # on this thread during executor shutdown — without this,
+                # each would eat a full 0.2 s acquire timeout (minutes of
+                # teardown for a large directory) before no-op'ing.
+                if abort.is_set():
+                    return [], 0, None
                 while not depth.acquire(timeout=0.2):
                     if abort.is_set():
                         return [], 0, None

@@ -131,6 +131,10 @@ class ClassifierServer:
         # while its semaphore slots were released, so fresh requests could
         # hit queue.Full and 429 with capacity free (round-3 advisor).
         self._jobs: queue.Queue[_Job] = queue.Queue()
+        # Serializes /reload: concurrent reloads could interleave
+        # load/probe/swap and leave older weights (or a model_version that
+        # disagrees with the served tree) as the final state.
+        self._reload_lock = threading.Lock()
         self._bucket_sizes = self._compute_buckets()
         self._stop = threading.Event()
         self._httpd: ThreadingHTTPServer | None = None
@@ -322,6 +326,26 @@ class ClassifierServer:
         return self.classifier.prep_decoded(im)
 
     # -- request plumbing (admission -> decode -> device -> result) ---------
+    def _admit_with_budget(self, n_images: int, budget_s: float | None):
+        """Stamp the request deadline and take image-weighted admission
+        slots. One source of truth for _run_job AND _run_stream (the
+        round-3 admission double-count bug class lived in exactly this
+        kind of drift). Returns (deadline, acquired); the CALLER must
+        release `acquired` slots, and has been shed if
+        acquired < n_images."""
+        import time
+
+        budget = self.request_timeout_s
+        if budget_s is not None and budget_s > 0:
+            budget = min(budget_s, self.request_timeout_s)
+        deadline = time.monotonic() + budget
+        acquired = 0
+        for _ in range(n_images):
+            if not self._admit.acquire(blocking=False):
+                break
+            acquired += 1
+        return deadline, acquired
+
     def _run_job(self, bodies: list[bytes], budget_s: float | None = None):
         """Decode on the bounded pool, enqueue one job, wait for results.
 
@@ -338,15 +362,7 @@ class ClassifierServer:
         the queue (round-3 review item #9)."""
         import time
 
-        budget = self.request_timeout_s
-        if budget_s is not None and budget_s > 0:
-            budget = min(budget_s, self.request_timeout_s)
-        deadline = time.monotonic() + budget
-        acquired = 0
-        for _ in range(len(bodies)):
-            if not self._admit.acquire(blocking=False):
-                break
-            acquired += 1
+        deadline, acquired = self._admit_with_budget(len(bodies), budget_s)
         try:
             if acquired < len(bodies):
                 return "overloaded"
@@ -380,15 +396,7 @@ class ClassifierServer:
         never reaches the device."""
         import time
 
-        budget = self.request_timeout_s
-        if budget_s is not None and budget_s > 0:
-            budget = min(budget_s, self.request_timeout_s)
-        deadline = time.monotonic() + budget
-        acquired = 0
-        for _ in range(len(bodies)):
-            if not self._admit.acquire(blocking=False):
-                break
-            acquired += 1
+        deadline, acquired = self._admit_with_budget(len(bodies), budget_s)
         jobs: list[_Job] = []
         try:
             if acquired < len(bodies):
@@ -437,6 +445,10 @@ class ClassifierServer:
         if self.model_dir is None:
             return 403, {"error": "server started without --model-dir; "
                                   "reload disabled"}
+        with self._reload_lock:
+            return self._reload_latest_locked()
+
+    def _reload_latest_locked(self):
         from roomnet_tpu.params import schema
         from roomnet_tpu.params.checkpoint import CheckpointStore
 

@@ -66,17 +66,26 @@ def export_tf_checkpoint(
     return path
 
 
+def export_params_file(params_path: str, out_prefix: str) -> tuple[str, int]:
+    """Load a saved flat-params npz, drop the non-model namespaces
+    (optimizer slots, metadata), and write the TF checkpoint. The ONE
+    body behind both entry points (`python -m roomnet_tpu convert-to-tf`
+    and this module's __main__) so the reserved-prefix filter can't
+    drift between them. Returns (checkpoint_path, n_tensors)."""
+    flat = dict(np.load(params_path))
+    flat = {k: v for k, v in flat.items()
+            if not k.startswith(("opt/", "meta/"))}
+    return export_tf_checkpoint(flat, out_prefix), len(flat)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--params", default="artifacts/roomnet_params.npz")
     p.add_argument("--out", default="exported_tf/roomnet",
                    help="TF checkpoint prefix to write")
     args = p.parse_args()
-    flat = dict(np.load(args.params))
-    flat = {k: v for k, v in flat.items()
-            if not k.startswith(("opt/", "meta/"))}
-    path = export_tf_checkpoint(flat, args.out)
-    print(f"exported {len(flat)} tensors -> {path} "
+    path, n = export_params_file(args.params, args.out)
+    print(f"exported {n} tensors -> {path} "
           f"(pair with the reference roomnet.meta)")
 
 

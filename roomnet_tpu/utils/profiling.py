@@ -37,7 +37,12 @@ class _Registry:
             self.counts[name] += 1
             ring = self._recent[name]
             if len(ring) >= self.RING:
-                ring[self.counts[name] % self.RING] = dt
+                # counts was already incremented for THIS sample, so the
+                # oldest surviving sample sits at (counts-1) % RING; using
+                # counts % RING would evict the 2nd-oldest and let sample
+                # #1 (typically a compile-inflated outlier) pollute the
+                # percentile window for a whole extra wrap.
+                ring[(self.counts[name] - 1) % self.RING] = dt
             else:
                 ring.append(dt)
 

@@ -102,6 +102,16 @@ def test_step_timer_and_trace_spans():
         profiling.SPANS.add("ring_span", 0.001)
     assert len(profiling.SPANS._recent["ring_span"]) <= profiling.SPANS.RING
 
+    # eviction order: the FIRST sample (a compile-inflated outlier, say)
+    # must leave the window after exactly RING further adds — not survive
+    # a whole extra wrap (off-by-one regression)
+    profiling.SPANS.reset()
+    profiling.SPANS.add("evict_span", 99.0)  # outlier first sample
+    for _ in range(profiling.SPANS.RING):
+        profiling.SPANS.add("evict_span", 0.001)
+    assert 99.0 not in profiling.SPANS._recent["evict_span"]
+    assert profiling.SPANS.summary()["evict_span"]["p99_ms"] < 10
+
     t = profiling.StepTimer()
     first = t.tick(8)
     second = t.tick(8)

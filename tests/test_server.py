@@ -870,6 +870,43 @@ def test_reload_on_mesh_backed_classifier(tmp_path):
         srv.stop()
 
 
+def test_concurrent_reloads_serialize(tmp_path):
+    """Racing /reload requests serialize on the reload lock: whatever
+    interleaving the handler threads get, the final served weights and
+    /version agree and come from the max-step checkpoint."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from roomnet_tpu.params import schema
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(50), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    mdir = str(tmp_path / "models")
+    store = CheckpointStore(mdir)
+    store.save(init_variables(jax.random.PRNGKey(51), TINY), 10)
+    newest = init_variables(jax.random.PRNGKey(52), TINY)
+    store.save(newest, 20)
+    srv = ClassifierServer(clf, port=0, model_dir=mdir).start()
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            outs = list(pool.map(
+                lambda _: _post(srv, "/reload", b""), range(4)
+            ))
+        assert all(st == 200 and out["step"] == 20 for st, out in outs), outs
+        with urllib.request.urlopen(_url(srv, "/version"), timeout=10) as r:
+            assert json.loads(r.read())["step"] == 20
+        want = schema.flatten_jax(newest)
+        got = schema.flatten_jax(clf.variables)
+        for k in want:
+            np.testing.assert_array_equal(
+                np.asarray(want[k]), np.asarray(got[k]), err_msg=k
+            )
+    finally:
+        srv.stop()
+
+
 def test_server_matches_predict_paths_on_same_bytes(tmp_path):
     """HTTP /classify and the file path (predict_paths) share ONE host
     preprocess (classify.prep_decoded), so the same image bytes must
