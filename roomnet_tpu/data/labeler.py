@@ -34,12 +34,16 @@ def _cv2_ui(im_path: str) -> int:
 
 
 def _stdin_ui(im_path: str) -> int:
-    resp = input(f"label for {os.path.basename(im_path)} (single key, 'q' to quit): ")
+    resp = input(
+        f"label for {os.path.basename(im_path)} (single key, 'q' to quit): "
+    ).strip()
+    # strip BEFORE the empty check: ' \n' (space+Enter over ssh) must
+    # re-prompt, not crash the session on resp[0].
     if not resp:
         return -1
-    if resp.strip().lower() == "q":
+    if resp.lower() == "q":
         return ESC
-    return ord(resp.strip()[0])
+    return ord(resp[0])
 
 
 class ImageLabeler:
@@ -63,14 +67,22 @@ class ImageLabeler:
         print(line)
 
     def write_to_csv(self, img_name: str, label: list[str]):
-        with open(self.label_file_path, "a+") as f:
-            f.write(os.path.basename(img_name) + "," + ",".join(label) + "\n")
+        # csv module, not str.join: a filename containing a comma gets
+        # quoted, so resume (extract_existing_labels) matches it instead
+        # of re-prompting every session. Comma-free names are written
+        # unquoted — byte-identical to the old format.
+        import csv
+
+        with open(self.label_file_path, "a+", newline="") as f:
+            csv.writer(f).writerow([os.path.basename(img_name)] + list(label))
 
     def extract_existing_labels(self) -> list[str]:
+        import csv
+
         if not os.path.isfile(self.label_file_path):
             return []
-        with open(self.label_file_path) as f:
-            return [l.split(",")[0] for l in f if l.strip()]
+        with open(self.label_file_path, newline="") as f:
+            return [row[0] for row in csv.reader(f) if row]
 
     def preprocess_label(self, label_raw: int) -> list[str]:  # override per use
         return [str(label_raw)]

@@ -200,6 +200,7 @@ class TrainFeeder:
         self.last_batch_synthetic = False
         self._q: queue.Queue = queue.Queue(maxsize=batches_per_queue)
         self._stop = threading.Event()
+        self._producer_error: BaseException | None = None
         self._pool = ThreadPoolExecutor(max_workers=decode_workers)
         self._thread = threading.Thread(target=self._producer, daemon=True)
         if start:
@@ -308,6 +309,19 @@ class TrainFeeder:
         return np.stack(xs), np.asarray(ys, np.int32), np.asarray(paths), synthetic
 
     def _producer(self):
+        try:
+            self._producer_loop()
+        except BaseException as e:  # noqa: BLE001 — surfaced via dequeue()
+            # A daemon thread dying silently (e.g. a malformed list line
+            # raising in parse_list_line) would leave dequeue() blocked
+            # forever and read as a device stall. Record the error so the
+            # consumer raises it once the queue drains.
+            self._producer_error = e
+            from roomnet_tpu.utils.logging import get_logger
+
+            get_logger("loader").error("feeder producer thread died: %r", e)
+
+    def _producer_loop(self):
         epoch = 0
         total = 0
         while not self._stop.is_set():
@@ -341,7 +355,19 @@ class TrainFeeder:
     def dequeue(self) -> tuple[np.ndarray, np.ndarray]:
         from roomnet_tpu.utils.logging import get_logger
 
-        x, y, paths, state = self._q.get()
+        while True:
+            try:
+                # Bounded get: already-produced batches are served first;
+                # once the queue drains after a producer death, raise the
+                # recorded cause instead of blocking forever.
+                x, y, paths, state = self._q.get(timeout=0.5)
+                break
+            except queue.Empty:
+                if self._producer_error is not None:
+                    raise RuntimeError(
+                        "feeder producer thread died: "
+                        f"{self._producer_error!r}"
+                    ) from self._producer_error
         self.batch_fpaths = paths
         self.train_state = state
         self.last_batch_synthetic = bool(state.get("synthetic", False))

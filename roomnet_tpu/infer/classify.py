@@ -382,7 +382,7 @@ def classify_im_dir(
         # (warn once) — the reference's xlwt writer had the same wall,
         # except it crashed there.
         nonlocal xls_overflowed
-        if i + 1 > 0xFFFF:
+        if i + 1 > 0xFFFE:  # Sheet.write's cap (DIMENSIONS packs max+1)
             if not xls_overflowed:
                 import warnings
 

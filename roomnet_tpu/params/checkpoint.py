@@ -126,16 +126,15 @@ class CheckpointStore:
 
     def export_inference(self, variables: Any, out_path: str) -> str:
         """Inference-optimized export: params only, no optimizer state
-        (reference `save()` in optimized mode, network.py:94-97)."""
+        (reference `save()` in optimized mode, network.py:94-97).
+
+        Delegates to convert_tf.save_flat — the ONE writer of
+        'roomnet_tpu_flat_npz_v1' manifests, so the two paths that
+        produce this format can't drift."""
+        from roomnet_tpu.params.convert_tf import save_flat
+
         flat = schema.flatten_variables(jax.device_get(variables))
-        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-        np.savez(out_path, **flat)
-        manifest = {
-            "format": "roomnet_tpu_flat_npz_v1",
-            "num_params": int(sum(int(np.prod(v.shape)) for v in flat.values())),
-        }
-        with open(os.path.splitext(out_path)[0] + ".json", "w") as f:
-            json.dump(manifest, f, indent=2)
+        save_flat(flat, out_path)
         return out_path
 
 
@@ -146,19 +145,23 @@ def merge_partial_restore(fresh_variables, restored_flat, cfg=DEFAULT_CONFIG):
     fresh initialization — the reference's behavior when `flat_len`
     changes (a different im_side re-inits the dense head rather than
     crashing later inside the compiled step; network.py:78, :242)."""
+    from roomnet_tpu.utils.logging import get_logger
+
+    log = get_logger("checkpoint")
     flat = schema.flatten_variables(jax.device_get(fresh_variables))
     for k, v in restored_flat.items():
         if k not in flat:
             # A key the current config doesn't define (e.g. a BN the model
             # no longer has) must not be injected — unflatten's presence
             # probes would silently resurrect the layer.
-            print(f"partial restore: skipping {k} (not in the current model)")
+            log.warning("partial restore: skipping %s (not in the current "
+                        "model)", k)
             continue
         if tuple(flat[k].shape) != tuple(np.asarray(v).shape):
-            print(
-                f"partial restore: skipping {k} "
-                f"(checkpoint {tuple(np.asarray(v).shape)} vs model "
-                f"{tuple(flat[k].shape)}) — keeping fresh init"
+            log.warning(
+                "partial restore: skipping %s (checkpoint %s vs model %s) "
+                "— keeping fresh init",
+                k, tuple(np.asarray(v).shape), tuple(flat[k].shape),
             )
             continue
         flat[k] = v

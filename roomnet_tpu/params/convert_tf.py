@@ -50,7 +50,18 @@ def convert_tf_checkpoint(
     ]
     if extra:
         raise KeyError(f"Unmapped TF variables present: {extra}")
-    assert n_params == 178062, f"expected 178062 params, got {n_params}"
+    # Expected count derived from cfg (178,062 for the reference DEFAULT
+    # geometry — SURVEY §2.5), so converting a retrained/resized
+    # checkpoint with a matching non-default cfg isn't rejected on a
+    # correct conversion.
+    import jax
+
+    from roomnet_tpu.models.roomnet import init_variables, param_count
+
+    expected = param_count(init_variables(jax.random.PRNGKey(0), cfg))
+    assert n_params == expected, (
+        f"expected {expected} params for this config, got {n_params}"
+    )
     return flat
 
 

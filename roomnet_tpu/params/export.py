@@ -143,7 +143,12 @@ def export_tflite(variables, out_path: str, cfg=None, *, allow_flex: bool = Fals
 
 
 def export_saved_model(variables, out_dir: str, cfg=None, batch_size: int | None = None) -> str:
-    """Export forward+softmax+argmax as a TF SavedModel (serving container)."""
+    """Export forward+softmax+argmax as a TF SavedModel (serving container).
+
+    batch_size=None (default) exports a polymorphic batch dimension via
+    jax2tf shape polymorphism — the spatial dims stay static, which is
+    all the model's resize/pool geometry needs. A concrete batch_size
+    pins the signature instead."""
     import tensorflow as tf
     from jax.experimental import jax2tf
 
@@ -158,9 +163,13 @@ def export_saved_model(variables, out_dir: str, cfg=None, batch_size: int | None
         probs = jax.nn.softmax(logits, axis=-1)
         return {"class_id": jax.numpy.argmax(probs, -1), "probs": probs}
 
+    # Without polymorphic_shapes, jax2tf cannot trace a (None, ...) spec:
+    # the default used to crash in tf.saved_model.save.
+    poly = ["(b, _, _, _)"] if batch_size is None else None
     module = tf.Module()
     module.f = tf.function(
-        jax2tf.convert(infer_fn, with_gradient=False),
+        jax2tf.convert(infer_fn, with_gradient=False,
+                       polymorphic_shapes=poly),
         input_signature=[
             tf.TensorSpec((batch_size, cfg.im_side, cfg.im_side, 3), tf.float32)
         ],

@@ -29,55 +29,23 @@ _BN_FIELDS = {"scale": "gamma", "bias": "beta", "mean": "moving_mean", "var": "m
 
 
 def flatten_variables(variables: Variables) -> dict[str, np.ndarray]:
-    flat: dict[str, np.ndarray] = {}
-    for bi, blk in enumerate(variables["blocks"]):
-        for d, k in enumerate(blk["conv"]):
-            flat[f"blocks/{bi}/conv/{d}"] = np.asarray(k)
-        for d, bn in enumerate(blk["bn"]):
-            for f in _BN_FIELDS:
-                flat[f"blocks/{bi}/bn/{d}/{f}"] = np.asarray(bn[f])
-        if blk["res_bn"] is not None:
-            for f in _BN_FIELDS:
-                flat[f"blocks/{bi}/res_bn/{f}"] = np.asarray(blk["res_bn"][f])
-    for di, layer in enumerate(variables["dense"]):
-        flat[f"dense/{di}/kernel"] = np.asarray(layer["kernel"])
-        if layer["bias"] is not None:
-            flat[f"dense/{di}/bias"] = np.asarray(layer["bias"])
-        if layer["bn"] is not None:
-            for f in _BN_FIELDS:
-                flat[f"dense/{di}/bn/{f}"] = np.asarray(layer["bn"][f])
-    return flat
+    """flatten_jax with every leaf materialized as numpy (the on-disk form).
+
+    Thin wrapper so there is ONE structure walker (flatten_jax) — the
+    previous hand-written twin had to mirror every model-structure change.
+    """
+    return {k: np.asarray(v) for k, v in flatten_jax(variables).items()}
 
 
 def unflatten_variables(
     flat: dict[str, np.ndarray], cfg: RoomNetConfig = DEFAULT_CONFIG
 ) -> Variables:
+    """unflatten_jax with every leaf converted to a jnp array (device-ready).
+
+    Thin wrapper over the one structure walker (unflatten_jax)."""
     import jax.numpy as jnp
 
-    def bn_at(prefix):
-        return {f: jnp.asarray(flat[f"{prefix}/{f}"]) for f in _BN_FIELDS}
-
-    blocks = []
-    for bi, depth in enumerate(cfg.block_depths):
-        blk = {
-            "conv": [jnp.asarray(flat[f"blocks/{bi}/conv/{d}"]) for d in range(depth)],
-            "bn": [bn_at(f"blocks/{bi}/bn/{d}") for d in range(depth)],
-            "res_bn": bn_at(f"blocks/{bi}/res_bn") if depth > 1 else None,
-        }
-        blocks.append(blk)
-    dense = []
-    n_dense = len(cfg.dense_units) + 1
-    for di in range(n_dense):
-        dense.append(
-            {
-                "kernel": jnp.asarray(flat[f"dense/{di}/kernel"]),
-                "bias": jnp.asarray(flat[f"dense/{di}/bias"])
-                if f"dense/{di}/bias" in flat
-                else None,
-                "bn": bn_at(f"dense/{di}/bn") if f"dense/{di}/bn/scale" in flat else None,
-            }
-        )
-    return {"blocks": blocks, "dense": dense}
+    return jax.tree_util.tree_map(jnp.asarray, unflatten_jax(flat, cfg))
 
 
 def tf_name_map(cfg: RoomNetConfig = DEFAULT_CONFIG) -> dict[str, str]:

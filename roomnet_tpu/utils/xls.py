@@ -18,7 +18,10 @@ class Sheet:
         self._cells: dict[tuple[int, int], str] = {}
 
     def write(self, row: int, col: int, value) -> None:
-        if row < 0 or row > 0xFFFF or col < 0 or col > 0xFF:
+        # Row cap is 0xFFFE, not 0xFFFF: the DIMENSIONS record packs
+        # max_row+1 into a u16, so accepting row 0xFFFF here would pass
+        # the write and then crash the whole workbook at save() time.
+        if row < 0 or row > 0xFFFE or col < 0 or col > 0xFF:
             raise ValueError(f"cell out of BIFF2 range: ({row},{col})")
         self._cells[(row, col)] = str(value)
 

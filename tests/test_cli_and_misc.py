@@ -164,6 +164,33 @@ def test_labeler_resume_and_binning(tmp_path):
     assert lab2.run_labeller() == 0
 
 
+def test_labeler_comma_filename_resumes(tmp_path):
+    """Filenames containing commas are csv-quoted in labels.csv, so a
+    restarted session recognizes them as done instead of re-prompting
+    (and duplicating rows) forever."""
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path / "imgs"
+    d.mkdir()
+    cv2.imwrite(str(d / "room,1.png"), np.zeros((8, 8, 3), np.uint8))
+    from roomnet_tpu.data.labeler import ImageLabeler
+
+    lab = ImageLabeler(str(d), ui=lambda p: ord("a"))
+    assert lab.run_labeller() == 1
+    lab2 = ImageLabeler(str(d), ui=lambda p: (_ for _ in ()).throw(AssertionError))
+    assert lab2.run_labeller() == 0
+    assert lab2.extract_existing_labels() == ["room,1.png"]
+
+
+def test_labeler_stdin_ui_whitespace_reprompts(monkeypatch):
+    """Space+Enter over ssh must re-prompt (-1), not crash on resp[0]."""
+    from roomnet_tpu.data import labeler
+
+    monkeypatch.setattr("builtins.input", lambda *_: "  ")
+    assert labeler._stdin_ui("x.png") == -1
+    monkeypatch.setattr("builtins.input", lambda *_: " q ")
+    assert labeler._stdin_ui("x.png") == labeler.ESC
+
+
 def test_labeler_esc_aborts(tmp_path):
     cv2 = pytest.importorskip("cv2")
     d = tmp_path / "imgs"

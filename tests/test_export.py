@@ -82,3 +82,25 @@ def test_quantized_variants_convert_and_track_float(exported, tmp_path):
         probs = interp.get_tensor(out["index"])
         # quantized: coarse agreement only (flip rates pinned offline)
         assert np.abs(probs - want).max() < 0.35, (quant, probs, want)
+
+def test_saved_model_polymorphic_batch(tmp_path):
+    """export_saved_model's default batch_size=None exports a polymorphic
+    batch dim (jax2tf shape polymorphism) — the documented default used to
+    crash at trace time. The SavedModel must serve several batch sizes and
+    match the JAX forward."""
+    from roomnet_tpu.params.export import export_saved_model
+
+    variables = init_variables(jax.random.PRNGKey(7), TINY)
+    d = str(tmp_path / "sm")
+    export_saved_model(variables, d, TINY)
+    m = tf.saved_model.load(d)
+    rng = np.random.RandomState(0)
+    for b in (1, 3):
+        x = rng.uniform(-1, 1, (b, TINY.im_side, TINY.im_side, 3)).astype(
+            np.float32
+        )
+        out = m.f(x)
+        assert out["class_id"].shape == (b,)
+        assert out["probs"].shape == (b, TINY.num_classes)
+        want = np.asarray(jax.nn.softmax(forward(variables, x, TINY), -1))
+        np.testing.assert_allclose(out["probs"].numpy(), want, atol=1e-5)

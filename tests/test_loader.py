@@ -275,3 +275,15 @@ def test_native_fast_decode_jpeg(tmp_path):
     a = native.load_preprocess(small, None, 224)
     b = native.load_preprocess(small, None, 224, min_decode_side=224)
     np.testing.assert_array_equal(a, b)
+
+def test_feeder_producer_death_surfaces_in_dequeue(tmp_path):
+    """A malformed list line (no numeric label) kills the producer thread;
+    dequeue() must raise the recorded cause instead of blocking forever
+    (which would read as a device stall)."""
+    paths = _write_imgs(tmp_path / "d", "c0", 2)
+    lines = [f"{paths[0]} 0\n", "stray-line-without-a-label\n"]
+    with TrainFeeder(lines, batch_size=2, im_side=8, shuffle=False,
+                     random_crop=False, preprocess=False) as f:
+        with pytest.raises(RuntimeError, match="producer thread died"):
+            for _ in range(8):  # already-queued good batches drain first
+                f.dequeue()

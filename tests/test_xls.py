@@ -40,3 +40,19 @@ def test_long_strings_truncated(tmp_path):
     p = str(tmp_path / "o.xls")
     wb.save(p)
     assert read_labels_biff2(p)[(0, 0)] == "a" * 255
+
+
+def test_max_row_saves_and_overflow_fails_fast(tmp_path):
+    """Row 0xFFFE (the true BIFF2 cap: DIMENSIONS packs max_row+1 into a
+    u16) must survive save(); row 0xFFFF must fail at write() time — not
+    complete a whole run and then lose the workbook in save()."""
+    import pytest
+
+    wb = Workbook()
+    sh = wb.add_sheet("s")
+    sh.write(0xFFFE, 0, "last")
+    p = str(tmp_path / "t.xls")
+    wb.save(p)
+    assert read_labels_biff2(p)[(0xFFFE, 0)] == "last"
+    with pytest.raises(ValueError, match="out of BIFF2 range"):
+        sh.write(0xFFFF, 0, "overflow")
