@@ -169,6 +169,7 @@ def main():
     # pure-noise JPEGs an earlier bench used, whose entropy decoding is
     # pathologically slow).
     e2e_ips = None
+    tmp = None
     try:
         import shutil
         import tempfile
@@ -256,6 +257,13 @@ def main():
             f"min(decode {e2e_decode_ips or 0:.0f}, relay {ceiling:.0f}))")
     except Exception as e:  # e2e is an extra; never fail the bench on it
         log(f"e2e segment skipped: {type(e).__name__}: {e}")
+    finally:
+        # ~1900 JPEGs (~100 MB) per run: repeated rounds on a long-lived
+        # box would pile gigabytes into /tmp.
+        if tmp is not None:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- steady-state serving latency (persistent daemon, warm device) ----
     serve_p50_ms = None
@@ -283,11 +291,14 @@ def main():
             RoomNetClassifier(variables, cfg, batch_size=8), port=0,
             max_inflight=64, warmup=True,
         ).start()
-        # Self-contained request image (independent of the e2e segment).
-        img_path = os.path.join(tempfile.mkdtemp(prefix="bench_srv_"), "req.jpg")
-        cv2.imwrite(img_path, make_image(2, np.random.RandomState(1), 480, 640)[:, :, ::-1],
-                    [cv2.IMWRITE_JPEG_QUALITY, 88])
-        body = open(img_path, "rb").read()
+        # Self-contained request image (independent of the e2e segment);
+        # encoded in memory, nothing left behind in /tmp.
+        okj, buf = cv2.imencode(
+            ".jpg", make_image(2, np.random.RandomState(1), 480, 640)[:, :, ::-1],
+            [cv2.IMWRITE_JPEG_QUALITY, 88],
+        )
+        assert okj
+        body = buf.tobytes()
 
         def post():
             req = urllib.request.Request(

@@ -43,8 +43,11 @@ namespace {
 // ---------------------------------------------------------------- decode --
 
 struct Image {
-  int h = 0, w = 0;
-  std::vector<uint8_t> bgr;  // h*w*3
+  int h = 0, w = 0;            // decoded (possibly DCT-scaled) dims
+  int orig_h = 0, orig_w = 0;  // pre-scale source dims, from the same
+                               // header parse — callers mapping crop
+                               // rects need both without a second open
+  std::vector<uint8_t> bgr;    // h*w*3
 };
 
 struct JpegErr {
@@ -60,6 +63,11 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 bool decode_jpeg(FILE* f, Image* out, bool header_only, int min_decode_side) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
+  // Constructed BEFORE setjmp: a longjmp out of jpeg_read_scanlines must
+  // not jump over a live std::vector (UB, and in practice a per-corrupt-
+  // file leak of the row buffer). Declared here, row's destructor runs on
+  // the normal function exit after the setjmp handler returns false.
+  std::vector<uint8_t> row;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jump)) {
@@ -72,8 +80,8 @@ bool decode_jpeg(FILE* f, Image* out, bool header_only, int min_decode_side) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
-  out->h = static_cast<int>(cinfo.image_height);
-  out->w = static_cast<int>(cinfo.image_width);
+  out->h = out->orig_h = static_cast<int>(cinfo.image_height);
+  out->w = out->orig_w = static_cast<int>(cinfo.image_width);
   if (header_only) {
     jpeg_destroy_decompress(&cinfo);
     return out->h > 0 && out->w > 0;
@@ -96,7 +104,7 @@ bool decode_jpeg(FILE* f, Image* out, bool header_only, int min_decode_side) {
   out->h = h;
   out->w = w;
   out->bgr.resize(static_cast<size_t>(h) * w * 3);
-  std::vector<uint8_t> row(static_cast<size_t>(w) * cinfo.output_components);
+  row.resize(static_cast<size_t>(w) * cinfo.output_components);
   uint8_t* rowp = row.data();
   for (int y = 0; y < h; ++y) {
     jpeg_read_scanlines(&cinfo, &rowp, 1);
@@ -129,6 +137,8 @@ bool decode_png(FILE* f, Image* out, bool header_only) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  // Before setjmp, same reasoning as decode_jpeg's row buffer.
+  std::vector<uint8_t> row;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
@@ -136,8 +146,8 @@ bool decode_png(FILE* f, Image* out, bool header_only) {
   png_init_io(png, f);
   png_set_sig_bytes(png, 8);
   png_read_info(png, info);
-  out->h = static_cast<int>(png_get_image_height(png, info));
-  out->w = static_cast<int>(png_get_image_width(png, info));
+  out->h = out->orig_h = static_cast<int>(png_get_image_height(png, info));
+  out->w = out->orig_w = static_cast<int>(png_get_image_width(png, info));
   if (header_only) {
     png_destroy_read_struct(&png, &info, nullptr);
     return out->h > 0 && out->w > 0;
@@ -155,7 +165,7 @@ bool decode_png(FILE* f, Image* out, bool header_only) {
   png_read_update_info(png, info);
   const int h = out->h, w = out->w;
   out->bgr.resize(static_cast<size_t>(h) * w * 3);
-  std::vector<uint8_t> row(png_get_rowbytes(png, info));
+  row.resize(png_get_rowbytes(png, info));
   for (int y = 0; y < h; ++y) {
     png_read_row(png, row.data(), nullptr);
     uint8_t* dst = out->bgr.data() + static_cast<size_t>(y) * w * 3;
@@ -270,20 +280,12 @@ int rn_load_preprocess_scaled(const char* path, int cx, int cy, int cw,
                               int ch, int out_side, int flip_lr, int flip_ud,
                               int min_decode_side, uint8_t* out) {
   Image im;
-  int orig_h = 0, orig_w = 0;
-  if (min_decode_side > 0) {
-    // Scaled decode changes dimensions; remember the originals so the
-    // caller's crop rect (original-image space) can be rescaled.
-    Image hdr;
-    if (!decode_any(path, &hdr, /*header_only=*/true)) return 0;
-    orig_h = hdr.h;
-    orig_w = hdr.w;
-  }
   if (!decode_any(path, &im, /*header_only=*/false, min_decode_side)) return 0;
-  if (min_decode_side <= 0) {
-    orig_h = im.h;
-    orig_w = im.w;
-  }
+  // The decode records pre-scale dims from its own header parse, so the
+  // caller's crop rect (original-image space) rescales without a second
+  // fopen+header pass per image (the fast path exists for speed).
+  const int orig_h = im.orig_h;
+  const int orig_w = im.orig_w;
   if (cx < 0) {
     cx = 0;
     cy = 0;

@@ -58,6 +58,10 @@ def _conv_kernel(x_ref, xn_ref, w_ref, o_ref, patches, *, TR, W, Cin, Cout):
         w_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST like conv2d_valid (ops/blocks.py), the A/B twin: the
+        # default would bf16-decompose f32 inputs, making an f32 A/B run
+        # compare different numerics AND different MXU pass counts.
+        precision=jax.lax.Precision.HIGHEST,
     )  # (TR, W_out, Cout)
     o_ref[0] = out.astype(o_ref.dtype)
 

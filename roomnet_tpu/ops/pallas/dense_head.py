@@ -24,8 +24,8 @@ from jax.experimental.pallas import tpu as pltpu
 from roomnet_tpu.ops.blocks import BN_EPS, bn_fold
 
 
-def _fold_bn(bn: dict, dtype):
-    w, b = bn_fold(bn, BN_EPS)
+def _fold_bn(bn: dict, dtype, eps):
+    w, b = bn_fold(bn, eps)
     return w.astype(dtype), b.astype(dtype)
 
 
@@ -49,11 +49,15 @@ def _head_kernel(x_ref, k0, w0, b0, k1, w1, b1, k2, w2, b2, k3, bias3, probs_ref
     probs_ref[...] = jax.nn.softmax(logits, axis=-1).astype(probs_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_batch",))
-def dense_head_pallas(dense_layers, x_flat: jnp.ndarray, block_batch: int = 256):
+@functools.partial(jax.jit, static_argnames=("block_batch", "bn_eps"))
+def dense_head_pallas(dense_layers, x_flat: jnp.ndarray, block_batch: int = 256,
+                      bn_eps: float = BN_EPS):
     """dense_layers = variables['dense'] (4 layers); x_flat (B, flat_len).
 
-    Returns softmax probs (B, num_classes) float32.
+    Returns softmax probs (B, num_classes) float32. bn_eps must be the
+    model config's value (RoomNetConfig.bn_eps) — a variant with a
+    non-default epsilon would otherwise fold silently-wrong BN scales
+    while the unfused path stays correct.
     """
     b, f = x_flat.shape
     n_cls = dense_layers[3]["kernel"].shape[1]
@@ -61,7 +65,7 @@ def dense_head_pallas(dense_layers, x_flat: jnp.ndarray, block_batch: int = 256)
     args = []
     for li in range(3):
         layer = dense_layers[li]
-        w, bb = _fold_bn(layer["bn"], dt)
+        w, bb = _fold_bn(layer["bn"], dt, bn_eps)
         args += [layer["kernel"].astype(dt), w.reshape(1, -1), bb.reshape(1, -1)]
     args += [
         dense_layers[3]["kernel"].astype(dt),

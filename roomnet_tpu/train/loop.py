@@ -458,12 +458,25 @@ class Trainer:
         )
         state = self.init_state()
         start_step = int(state.step)
-        total_steps = total_steps or tc.train_steps
+        # `is not None`, not `or`: an explicit total_steps=0 (a caller's
+        # computed remaining-step count hitting zero) must run 0 steps,
+        # not fall through to the full tc.train_steps run.
+        total_steps = total_steps if total_steps is not None else tc.train_steps
 
         all_stats = []
         if os.path.isfile(tc.stats_fpath):
-            with open(tc.stats_fpath) as f:
-                all_stats = json.load(f)
+            try:
+                with open(tc.stats_fpath) as f:
+                    all_stats = json.load(f)
+            except (json.JSONDecodeError, ValueError):
+                # A corrupt stats file (pre-atomic-write interrupted save,
+                # or hand-edited) must not brick every future resume — the
+                # real training state lives in the checkpoints. Preserve
+                # the bytes for forensics and start a fresh history.
+                quarantine = tc.stats_fpath + ".corrupt"
+                os.replace(tc.stats_fpath, quarantine)
+                print(f"stats file unparseable — moved to {quarantine}; "
+                      f"starting a fresh stats history")
 
         ph = phase_at(tc.phases, start_step)
         n_usable = sum(1 for l in train_txt if str(l).strip())
@@ -643,6 +656,15 @@ class Trainer:
 
             n = (train_reader.rows[1] - train_reader.rows[0]
                  if sharded else train_reader.batch_size)
+            if not sharded and self.mesh is not None:
+                # The feeder may have clamped batch_size below the
+                # config-time mesh rounding (dataset smaller than the
+                # phase batch). Pad rows up to the data-axis multiple like
+                # the k==1 path's _pad_for_mesh — the mask below zeroes
+                # the padding's gradient weight — or _to_global would
+                # raise on a non-divisible shard axis.
+                d = int(self.mesh.shape.get("data", 1))
+                n = -(-n // d) * d
             triples = [fetch_host_batch() for _ in range(k)]
             x = np.stack([_cycle_pad(t[0], n) for t in triples])
             y = np.stack([_cycle_pad(t[1], n) for t in triples])
@@ -701,7 +723,10 @@ class Trainer:
                         seed=tc.seed, rows=self._feed_rows(mesh_bs),
                     )
                 ph = new_ph
-                if it % tc.save_freq == 0 and it > start_step:
+                # save_freq=0 disables the save/validation cadence (same
+                # contract window() honors) — it must not ZeroDivisionError.
+                if tc.save_freq > 0 and it % tc.save_freq == 0 \
+                        and it > start_step:
                     val_bn = (
                         ph.compute_bn_mean_var
                         if tc.val_use_batch_stats is None
@@ -732,8 +757,14 @@ class Trainer:
                         )
                     if is_rank0:
                         all_stats.append(entry)
-                        with open(tc.stats_fpath, "w") as f:
+                        # Atomic tmp+rename like the checkpoint store: the
+                        # file is fully rewritten every validation and an
+                        # unclean death mid-write would leave truncated
+                        # JSON that bricks the next resume's load.
+                        tmp = tc.stats_fpath + ".tmp"
+                        with open(tmp, "w") as f:
                             json.dump(all_stats, f, indent=4, sort_keys=True)
+                        os.replace(tmp, tc.stats_fpath)
                         print(f"Validated at step {state.step}: "
                               f"acc {entry['accuracy']:.4f}")
                 k = window(it)

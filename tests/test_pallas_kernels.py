@@ -36,6 +36,26 @@ def test_dense_head_kernel_matches_xla(dense_layers, bsz):
     np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
 
 
+def test_dense_head_kernel_honors_bn_eps(dense_layers):
+    """The kernel folds BN with the CALLER's epsilon — a non-default
+    cfg.bn_eps variant must match the unfused path at that eps (the
+    kernel used to hardcode the module default)."""
+    eps = 1e-2
+    x = np.random.RandomState(1).randn(8, 64).astype(np.float32)
+    got = np.asarray(dense_head_pallas(dense_layers, x, bn_eps=eps))
+    h = x
+    for li in range(3):
+        h = B.relu6(B.dense(h, dense_layers[li]["kernel"]))
+        h = B.batch_norm(h, dense_layers[li]["bn"], eps=eps)
+    logits = B.relu6(B.dense(h, dense_layers[3]["kernel"],
+                             dense_layers[3]["bias"]))
+    want = np.asarray(jax.nn.softmax(logits, -1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # and it genuinely differs from the default-eps fold
+    default = np.asarray(dense_head_pallas(dense_layers, x))
+    assert np.abs(default - got).max() > 1e-6
+
+
 @pytest.mark.parametrize(
     "shape",
     [  # (H, W, C, ksize, stride) — the stride-1 pool geometries (B1/B2);

@@ -773,3 +773,65 @@ def test_trainer_sharded_feed_refuses_fully_unreadable_dataset(data_dir, tmp_pat
         Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(
             total_steps=50, log_every=100
         )
+
+
+def test_trainer_scanned_steps_mesh_dataset_smaller_than_batch(data_dir):
+    """steps_per_call>1 over a mesh with a dataset smaller than the phase
+    batch: the feeder clamps batch_size below the config-time mesh
+    rounding, and the scanned path must re-pad rows to the data-axis
+    multiple (mask-zeroed) instead of raising a shard-divisibility error."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=32),)),
+        steps_per_call=2, save_freq=1000,
+    )
+    state = Trainer(tc, cfg, mesh=make_mesh(8, 1)).train(
+        total_steps=4, log_every=100
+    )
+    assert int(state.step) == 4
+
+
+def test_trainer_save_freq_zero_and_total_steps_zero(data_dir):
+    """save_freq=0 disables the save/validation cadence without a
+    ZeroDivisionError, and an explicit total_steps=0 runs zero steps
+    (it used to fall through `or` to the full tc.train_steps run)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = dataclasses.replace(
+        _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),)),
+        save_freq=0,
+    )
+    state = Trainer(tc, cfg).train(total_steps=3, log_every=100)
+    assert int(state.step) == 3
+    assert not os.path.exists(tc.stats_fpath)  # no validation ran
+    # save_freq=0 wrote no checkpoints, so this run starts fresh at 0 —
+    # and with total_steps=0 it must STAY there (not run tc.train_steps).
+    state2 = Trainer(tc, cfg).train(total_steps=0, log_every=100)
+    assert int(state2.step) == 0
+
+
+def test_trainer_corrupt_stats_file_quarantined(data_dir):
+    """A truncated stats JSON (unclean death mid-write before the atomic
+    rename existed) must not brick resume: it is moved aside and training
+    continues with a fresh history."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = _tc(data_dir, phases=(Phase(until_step=1 << 62, batch_size=4),))
+    with open(tc.stats_fpath, "w") as f:
+        f.write('[{"step": 1, "accuracy"')  # truncated mid-write
+    state = Trainer(tc, cfg).train(total_steps=6, log_every=100)
+    assert int(state.step) == 6
+    assert os.path.exists(tc.stats_fpath + ".corrupt")
+    with open(tc.stats_fpath) as f:
+        stats = json.load(f)  # fresh, valid history
+    assert stats and all("accuracy" in e for e in stats)
