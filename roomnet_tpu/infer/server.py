@@ -92,7 +92,8 @@ class ClassifierServer:
                  max_inflight: int | None = None,
                  decode_workers: int | None = None,
                  request_timeout_s: float = 30.0,
-                 model_dir: str | None = None):
+                 model_dir: str | None = None,
+                 max_body_bytes: int = 256 << 20):
         """model_dir: enables POST /reload — re-scan this checkpoint dir
         (resume-latest semantics, the trainer's output) and atomically
         swap the serving weights without a restart or recompile (the
@@ -112,6 +113,10 @@ class ClassifierServer:
                              classifier.batch_size)
         self.warmup = warmup
         self.request_timeout_s = request_timeout_s
+        # Rejected from the Content-Length header, before any read: 256 MB
+        # comfortably fits a max_inflight batch of base64 photos while
+        # keeping a hostile multi-GB post from being buffered.
+        self.max_body_bytes = max_body_bytes
         # Admission cap: how many requests may be in flight (decoding,
         # queued, or on device) before new ones are shed with 429. Sized so
         # the backlog clears within a few device calls.
@@ -368,7 +373,13 @@ class ClassifierServer:
                 return "overloaded"
             images = list(self._decode_pool.map(self._preprocess, bodies))
             job = _Job(images, deadline=deadline)
-            if any(im is not None for im in images):
+            if self._stop.is_set():
+                # The worker is gone (or going): enqueueing now would leave
+                # this handler in event.wait for its whole budget with
+                # nobody to answer — fail it like stop()'s drain does.
+                job.error = "shutting_down"
+                job.event.set()
+            elif any(im is not None for im in images):
                 self._jobs.put(job)
                 remaining = deadline - time.monotonic()
                 if remaining <= 0 or not job.event.wait(timeout=remaining):
@@ -405,7 +416,10 @@ class ClassifierServer:
             for at in range(0, len(images), self.max_batch):
                 job = _Job(images[at: at + self.max_batch], deadline=deadline)
                 jobs.append(job)
-                if any(im is not None for im in job.images):
+                if self._stop.is_set():
+                    job.error = "shutting_down"  # see _run_job
+                    job.event.set()
+                elif any(im is not None for im in job.images):
                     self._jobs.put(job)
                 else:
                     job.event.set()
@@ -580,12 +594,28 @@ class ClassifierServer:
                 except ValueError:
                     return None
 
+            def _read_body(self):
+                """Read the request body, or None after answering 413.
+
+                The Content-Length check runs BEFORE any read: buffering a
+                multi-GB body just to reject it would let a handful of
+                oversized posts OOM the host before admission control ever
+                runs."""
+                length = int(self.headers.get("Content-Length", 0))
+                if length > server_self.max_body_bytes:
+                    self._send(413, {
+                        "error": f"body too large ({length} bytes; max "
+                                 f"{server_self.max_body_bytes})"})
+                    return None
+                return self.rfile.read(length)
+
             def _classify_single(self):
                 from roomnet_tpu.utils.profiling import trace
 
                 with trace("serve/request"):
-                    length = int(self.headers.get("Content-Length", 0))
-                    body = self.rfile.read(length)
+                    body = self._read_body()
+                    if body is None:
+                        return
                     out = server_self._run_job([body], budget_s=self._budget_s())
                 if out == "overloaded":
                     self._send_overloaded()
@@ -609,9 +639,11 @@ class ClassifierServer:
                 from roomnet_tpu.utils.profiling import trace
 
                 with trace("serve/request_batch"):
-                    length = int(self.headers.get("Content-Length", 0))
+                    raw = self._read_body()
+                    if raw is None:
+                        return
                     try:
-                        payload = json.loads(self.rfile.read(length))
+                        payload = json.loads(raw)
                         images = payload["images"]
                         assert isinstance(images, list)
                     except Exception:
@@ -725,14 +757,21 @@ class ClassifierServer:
         self._decode_pool.shutdown(wait=False, cancel_futures=True)
         # Fail queued jobs FAST: handlers blocked in event.wait would
         # otherwise sit out their full budgets on a server that will never
-        # answer them.
-        while True:
-            try:
-                job = self._jobs.get_nowait()
-            except queue.Empty:
-                break
-            job.error = job.error or "shutting_down"
-            job.event.set()
+        # answer them. Drained a few times: a handler that raced past the
+        # _stop check in _run_job may put its job just after the first
+        # sweep.
+        import time as _time
+
+        for sweep in range(3):
+            while True:
+                try:
+                    job = self._jobs.get_nowait()
+                except queue.Empty:
+                    break
+                job.error = job.error or "shutting_down"
+                job.event.set()
+            if sweep < 2:
+                _time.sleep(0.05)
 
     def serve_forever(self):
         self.start()

@@ -76,6 +76,38 @@ def test_classify_bad_payload(server):
     assert status == 400 and "error" in out
 
 
+def test_oversized_body_rejected_413_before_read():
+    """The Content-Length gate runs before any body read: a post past
+    max_body_bytes must come back 413 on both endpoints, not be buffered."""
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(0), TINY), TINY,
+        batch_size=4, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0, warmup=False, max_body_bytes=1024).start()
+    try:
+        big = _img_bytes()  # a real PNG, just larger than the 1 KiB cap
+        assert len(big) > 1024
+        status, out = _post(srv, "/classify", big)
+        assert status == 413 and "too large" in out["error"]
+        payload = json.dumps(
+            {"images": [__import__("base64").b64encode(big).decode()]}
+        ).encode()
+        status, out = _post(srv, "/classify_batch", payload)
+        assert status == 413 and "too large" in out["error"]
+        # a within-cap request still works afterwards
+        import numpy as _np
+
+        small = cv2.imencode(
+            ".jpg", _np.zeros((16, 16, 3), _np.uint8),
+            [cv2.IMWRITE_JPEG_QUALITY, 50],
+        )[1].tobytes()
+        assert len(small) <= 1024
+        status, out = _post(srv, "/classify", small)
+        assert status == 200 and out["label"] in LABELS4
+    finally:
+        srv.stop()
+
+
 def test_unknown_route(server):
     status, _ = _post(server, "/nope", b"")
     assert status == 404
