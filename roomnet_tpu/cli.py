@@ -38,6 +38,25 @@ def _load_variables(params_path: str, model_dir: str | None = None):
     return schema.unflatten_variables(dict(np.load(params_path)))
 
 
+def _model_cfg(img_side: int, *, bf16: bool):
+    """Config for the requested input geometry (README.md:32: the
+    reference tried 224/300/600). im_side drives flat_len, so training or
+    serving a non-224 model with the 224 config would fail at compile
+    with an opaque shape error — build the right geometry instead and
+    validate it like the registry does."""
+    import dataclasses
+
+    from roomnet_tpu.models import registry
+    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
+
+    base = FAST_CONFIG if bf16 else DEFAULT_CONFIG
+    if img_side == base.im_side:
+        return base
+    cfg = dataclasses.replace(base, im_side=img_side)
+    registry.validate(cfg)
+    return cfg
+
+
 def cmd_train(args):
     from roomnet_tpu.train.loop import TrainConfig, Trainer
 
@@ -66,17 +85,14 @@ def cmd_train(args):
         from roomnet_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
-
-    cfg = FAST_CONFIG if args.precision == "bf16" else DEFAULT_CONFIG
+    cfg = _model_cfg(args.img_side, bf16=args.precision == "bf16")
     Trainer(tc, cfg, mesh=mesh).train()
 
 
 def cmd_infer(args):
     from roomnet_tpu.infer.classify import RoomNetClassifier, classify_im_dir
-    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
 
-    cfg = DEFAULT_CONFIG if args.exact else FAST_CONFIG
+    cfg = _model_cfg(args.img_side, bf16=not args.exact)
     clf = RoomNetClassifier(
         _load_variables(args.params, args.model_dir), cfg,
         batch_size=args.batch_size, fast_decode=args.fast_decode,
@@ -88,9 +104,8 @@ def cmd_infer(args):
 
 def cmd_validate(args):
     from roomnet_tpu.infer.classify import RoomNetClassifier, groundtruth_validation
-    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
 
-    cfg = DEFAULT_CONFIG if args.exact else FAST_CONFIG
+    cfg = _model_cfg(args.img_side, bf16=not args.exact)
     clf = RoomNetClassifier(
         _load_variables(args.params, args.model_dir), cfg, batch_size=args.batch_size
     )
@@ -240,9 +255,8 @@ def cmd_export(args):
 def cmd_serve(args):
     from roomnet_tpu.infer.classify import RoomNetClassifier
     from roomnet_tpu.infer.server import ClassifierServer
-    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
 
-    cfg = DEFAULT_CONFIG if args.exact else FAST_CONFIG
+    cfg = _model_cfg(args.img_side, bf16=not args.exact)
     clf = RoomNetClassifier(
         _load_variables(args.params, args.model_dir), cfg, batch_size=args.batch_size
     )
@@ -323,6 +337,9 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--no-overlay", action="store_true")
     i.add_argument("--exact", action="store_true",
                    help="f32 parity mode instead of bf16 serving mode")
+    i.add_argument("--img-side", type=int, default=224,
+                   help="model input geometry; must match the loaded "
+                        "weights' dense head (README.md:32 variants)")
     i.add_argument("--device-resize-side", type=int, default=None,
                    help="ship center-cropped uint8 at this side and run the "
                         "final resample on device (PCIe hosts with at-size "
@@ -341,6 +358,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of --params")
     v.add_argument("--batch-size", type=int, default=64)
     v.add_argument("--exact", action="store_true")
+    v.add_argument("--img-side", type=int, default=224,
+                   help="model input geometry; must match the loaded "
+                        "weights' dense head (README.md:32 variants)")
     v.set_defaults(fn=cmd_validate)
 
     c = sub.add_parser("convert", help="TF checkpoint -> native params")
@@ -392,6 +412,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=8000)
     s.add_argument("--batch-size", type=int, default=32)
     s.add_argument("--exact", action="store_true")
+    s.add_argument("--img-side", type=int, default=224,
+                   help="model input geometry; must match the loaded "
+                        "weights' dense head (README.md:32 variants)")
     s.add_argument("--no-warmup", action="store_true",
                    help="skip the compile-before-bind warmup")
     s.add_argument("--max-inflight", type=int, default=None,

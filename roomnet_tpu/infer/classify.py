@@ -96,6 +96,21 @@ class RoomNetClassifier:
         self.min_decode_side = (
             fast_decode_safety * self.host_side if fast_decode else 0
         )
+        if fast_decode:
+            from roomnet_tpu.data import native
+
+            if not native.available():
+                # The flag is consulted only by the native decode path; on
+                # a host without csrc/libroomnet_io.so every image takes
+                # the cv2 full decode and the requested 8x saving silently
+                # never happens — say so instead.
+                from roomnet_tpu.utils.logging import get_logger
+
+                get_logger("classify").warning(
+                    "fast_decode requested but the native data-plane "
+                    "(csrc/libroomnet_io.so) is not built — falling back "
+                    "to full cv2 decode with no DCT-scaling speedup"
+                )
 
         def _predict(variables, x_uint8_bgr):
             if device_resize_side is not None:
@@ -396,47 +411,64 @@ def classify_im_dir(
         sheet.write(i + 1, 1, pred_label)
         sheet.write(i + 1, 2, str(pred_conf))
 
-    for i, fpath in it:
-        if not ok[i]:
-            continue
-        pred_label = labels[int(ids[i])]
-        pred_conf = float(confs[i, int(ids[i])])
-        dst_dir = os.path.join(out_dir, pred_label)
-        fname = os.path.basename(fpath)
-        if overlay:
-            # The prediction path may have decoded this file with the native
-            # C++ backend; cv2 can still fail here (e.g. a JPEG variant
-            # libjpeg accepts but cv2's build doesn't). The file IS
-            # classified — fall back to a raw copy instead of crashing,
-            # mirroring the reference's overlay=False branch (infer.py:94).
-            im = cv2.imread(fpath)
-            if im is None:
-                import warnings
-
-                warnings.warn(
-                    f"overlay skipped for {fpath}: cv2 could not re-read it; "
-                    "copied unannotated", stacklevel=2,
-                )
-                shutil.copy(fpath, dst_dir)
-                write_xls_row(i, fname, pred_label, pred_conf)
-                csv_writer.writerow([fname, pred_label, pred_conf])
+    try:
+        for i, fpath in it:
+            if not ok[i]:
                 continue
-            h, w = im.shape[:2]
-            # Same overlay text/placement as infer.py:89-92.
-            cv2.putText(im, "Predicted Class: " + pred_label,
-                        (int(0.5 * w), int(0.90 * h)), cv2.FONT_HERSHEY_SIMPLEX,
-                        (h / 720.0) * 0.85, (0, 255, 0), 1, cv2.LINE_AA)
-            cv2.putText(im, "Confidence: " + str(round(pred_conf * 100, 2)) + " %",
-                        (int(0.5 * w), int(0.95 * h)), cv2.FONT_HERSHEY_SIMPLEX,
-                        (h / 720.0) * 0.85, (255, 0, 0), 1, cv2.LINE_AA)
-            cv2.imwrite(os.path.join(dst_dir, fname), im)
-        else:
-            shutil.copy(fpath, dst_dir)
-        write_xls_row(i, fname, pred_label, pred_conf)
-        csv_writer.writerow([fname, pred_label, pred_conf])
-    csv_file.close()
-    wb.save(xl_fpath)
+            pred_label = labels[int(ids[i])]
+            pred_conf = float(confs[i, int(ids[i])])
+            dst_dir = os.path.join(out_dir, pred_label)
+            fname = os.path.basename(fpath)
+            if overlay:
+                # The prediction path may have decoded this file with the
+                # native C++ backend; cv2 can still fail here (e.g. a JPEG
+                # variant libjpeg accepts but cv2's build doesn't). The
+                # file IS classified — fall back to a raw copy instead of
+                # crashing, mirroring the reference's overlay=False branch
+                # (infer.py:94). The WRITE can fail too (an extensionless
+                # filename gives cv2.imwrite no encoder) — same fallback.
+                im = cv2.imread(fpath)
+                if im is None:
+                    _warn_copy(fpath, dst_dir,
+                               "cv2 could not re-read it")
+                else:
+                    h, w = im.shape[:2]
+                    # Same overlay text/placement as infer.py:89-92.
+                    cv2.putText(im, "Predicted Class: " + pred_label,
+                                (int(0.5 * w), int(0.90 * h)),
+                                cv2.FONT_HERSHEY_SIMPLEX,
+                                (h / 720.0) * 0.85, (0, 255, 0), 1,
+                                cv2.LINE_AA)
+                    cv2.putText(im, "Confidence: "
+                                + str(round(pred_conf * 100, 2)) + " %",
+                                (int(0.5 * w), int(0.95 * h)),
+                                cv2.FONT_HERSHEY_SIMPLEX,
+                                (h / 720.0) * 0.85, (255, 0, 0), 1,
+                                cv2.LINE_AA)
+                    try:
+                        if not cv2.imwrite(os.path.join(dst_dir, fname), im):
+                            raise OSError("imwrite returned False")
+                    except Exception as e:  # noqa: BLE001
+                        _warn_copy(fpath, dst_dir,
+                                   f"annotated write failed ({e})")
+            else:
+                shutil.copy(fpath, dst_dir)
+            write_xls_row(i, fname, pred_label, pred_conf)
+            csv_writer.writerow([fname, pred_label, pred_conf])
+    finally:
+        # One failing row must not discard a fully-classified directory's
+        # results: whatever was written so far is flushed either way.
+        csv_file.close()
+        wb.save(xl_fpath)
     return xl_fpath
+
+
+def _warn_copy(fpath: str, dst_dir: str, why: str) -> None:
+    import warnings
+
+    warnings.warn(f"overlay skipped for {fpath}: {why}; copied unannotated",
+                  stacklevel=3)
+    shutil.copy(fpath, dst_dir)
 
 
 def groundtruth_validation(classifier: RoomNetClassifier, list_fpath: str) -> dict:

@@ -48,6 +48,33 @@ def test_doctor_reports_and_exits_clean(capsys):
     assert "[WARN] converted reference params" in capsys.readouterr().out
 
 
+def test_cli_model_cfg_selects_geometry():
+    """--img-side must drive the MODEL config, not just the data loader:
+    224 returns the canonical configs unchanged; 300/600 (README.md:32)
+    return validated variants; a collapsing geometry raises up front
+    instead of as an opaque compile-time shape error."""
+    from roomnet_tpu.cli import _model_cfg
+    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
+
+    assert _model_cfg(224, bf16=False) is DEFAULT_CONFIG
+    assert _model_cfg(224, bf16=True) is FAST_CONFIG
+    cfg300 = _model_cfg(300, bf16=False)
+    assert cfg300.im_side == 300
+    assert cfg300.compute_dtype == DEFAULT_CONFIG.compute_dtype
+    assert _model_cfg(600, bf16=True).compute_dtype == FAST_CONFIG.compute_dtype
+    with pytest.raises(ValueError):
+        _model_cfg(64, bf16=False)
+    # and the flag parses on every device-facing subcommand
+    p = build_parser()
+    for argv in [
+        ["train", "--img-side", "300"],
+        ["infer", "--images-dir", "/x", "--img-side", "300"],
+        ["validate", "--list-file", "/x", "--img-side", "300"],
+        ["serve", "--img-side", "300"],
+    ]:
+        assert p.parse_args(argv).img_side == 300
+
+
 def test_registry_variants():
     assert "roomnet-224" in registry.names()
     assert registry.get("roomnet-300").im_side == 300

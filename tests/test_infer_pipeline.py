@@ -327,6 +327,38 @@ def test_overlay_falls_back_to_copy_when_cv2_cannot_reread(
     assert names == {os.path.basename(p) for p in paths}
 
 
+def test_overlay_write_failure_falls_back_to_copy(classifier, tmp_path):
+    """cv2.imwrite has no encoder for an extensionless output name, so the
+    annotated WRITE fails even though the re-read succeeded. Same contract
+    as a failed re-read: warn + raw copy, never crash, results flushed."""
+    d = str(tmp_path / "imgs")
+    paths = _write_images(d, 2)
+    # an extensionless source: decodes fine from bytes, but
+    # cv2.imwrite(dst/<name with no extension>) cannot pick an encoder
+    rng = np.random.RandomState(7)
+    ok_enc, buf = cv2.imencode(".png", rng.randint(0, 255, (50, 48, 3), np.uint8))
+    assert ok_enc
+    victim = os.path.join(d, "noext_photo")
+    with open(victim, "wb") as f:
+        f.write(buf.tobytes())
+    paths.append(victim)
+    with pytest.warns(UserWarning, match="overlay skipped"):
+        xl = classify_im_dir(classifier, d, overlay=True, progress=False)
+    out_dir = d.rstrip(os.sep) + "_classified"
+    binned = {}
+    for lbl in LABELS4:
+        sub = os.path.join(out_dir, lbl)
+        for f in (os.listdir(sub) if os.path.isdir(sub) else []):
+            binned[f] = os.path.join(sub, f)
+    assert sorted(binned) == sorted(os.path.basename(p) for p in paths)
+    # the victim is a byte-identical raw copy; results carry every row
+    assert (open(binned["noext_photo"], "rb").read()
+            == open(victim, "rb").read())
+    cells = read_labels_biff2(xl)
+    names = {cells[(r, 0)] for (r, c) in cells if r > 0 and c == 0}
+    assert names == {os.path.basename(p) for p in paths}
+
+
 def test_classify_im_dir_writes_csv_twin(classifier, tmp_path):
     import csv as csvmod
 
