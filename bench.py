@@ -30,6 +30,41 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _wait_for_backend(deadline_s: float):
+    """Retry backend init until it answers or the deadline passes.
+
+    The axon tunnel has a measured failure mode where a wedged prior
+    session makes init BLOCK ~40 min and then raise UNAVAILABLE — after
+    which the stale session has expired and the NEXT attempt succeeds.
+    jax caches a failed backend for the life of the process, so each
+    retry must clear_backends() first. Without this, a bench launched
+    into that window produces no artifact at all."""
+    import jax
+
+    t_end = time.monotonic() + deadline_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            devs = jax.devices()
+            log(f"backend ready: {len(devs)}x {devs[0].platform}")
+            return
+        except RuntimeError as e:
+            if time.monotonic() >= t_end:
+                raise
+            log(f"backend init attempt {attempt} failed ({e}); retrying...")
+            try:
+                # jax caches the failed platform for the process lifetime;
+                # this is the supported reset (jax.clear_backends is gone
+                # in this jax version).
+                import jax.extend.backend
+
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+            time.sleep(min(30.0, max(1.0, t_end - time.monotonic())))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -39,6 +74,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    # One wedged-session recovery window (~40 min) + slack, env-overridable.
+    _wait_for_backend(float(os.environ.get("BENCH_BACKEND_DEADLINE_S", 4500)))
 
     from roomnet_tpu.models.roomnet import (
         FAST_CONFIG,

@@ -75,6 +75,37 @@ def test_cli_model_cfg_selects_geometry():
         assert p.parse_args(argv).img_side == 300
 
 
+def test_bench_backend_retry_recovers_after_failure():
+    """bench._wait_for_backend must really re-attempt init after a failed
+    try (jax caches failed platforms for the process lifetime): a wedged
+    axon tunnel recovers BETWEEN attempts, so a cached-error spin loop
+    would produce no BENCH artifact. Subprocess: clearing live backends
+    mid-suite would invalidate other tests' arrays."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax; jax.config.update('jax_platforms', 'bogus')\n"
+        "import bench\n"
+        "try:\n"
+        "    bench._wait_for_backend(3)\n"
+        "    raise SystemExit('should have raised')\n"
+        "except RuntimeError:\n"
+        "    pass\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "bench._wait_for_backend(5)\n"
+        "print('RECOVERED')\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="")
+    out = subprocess.run([_sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert "RECOVERED" in out.stdout
+    # and at least one real retry happened (not an instant cached re-raise)
+    assert "attempt 1 failed" in out.stderr
+
+
 def test_registry_variants():
     assert "roomnet-224" in registry.names()
     assert registry.get("roomnet-300").im_side == 300
