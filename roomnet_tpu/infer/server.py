@@ -537,6 +537,18 @@ class ClassifierServer:
     # -- http ---------------------------------------------------------------
     def _make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: every response carries Content-Length
+            # (_send) so the connection can be reused — a client issuing
+            # many requests pays ONE TCP setup, not one per request. Paths
+            # that do NOT consume the request body (413, POST to an
+            # unknown route, /reload with a body) send Connection: close,
+            # because unread bytes would be misparsed as the next request.
+            protocol_version = "HTTP/1.1"
+            # Idle keep-alive connections pin a ThreadingHTTPServer thread
+            # each; drop them after a quiet minute (also bounds a stalled
+            # mid-body client, which is why it exceeds request_timeout_s).
+            timeout = 65
+
             def log_message(self, *a):  # quiet
                 pass
 
@@ -577,10 +589,22 @@ class ClassifierServer:
                 elif path == "/classify_batch":
                     self._classify_batch(stream="stream=1" in query.split("&"))
                 elif path == "/reload":
+                    self._drain_small_body()
                     code, payload = server_self._reload_latest()
                     self._send(code, payload)
                 else:
+                    self._drain_small_body()
                     self._send(404, {"error": "not found"})
+
+            def _drain_small_body(self):
+                """Consume an incidental request body so keep-alive framing
+                stays intact on endpoints that ignore bodies; anything big
+                forces a close instead of a pointless read."""
+                length = int(self.headers.get("Content-Length", 0))
+                if 0 < length <= (1 << 16):
+                    self.rfile.read(length)
+                elif length:
+                    self.close_connection = True
 
             def _budget_s(self) -> float | None:
                 """Per-request timeout budget: X-Timeout-Seconds header,
@@ -601,11 +625,22 @@ class ClassifierServer:
                 multi-GB body just to reject it would let a handful of
                 oversized posts OOM the host before admission control ever
                 runs."""
+                if "chunked" in self.headers.get("Transfer-Encoding", "").lower():
+                    # We size admission off Content-Length; a chunked body
+                    # has none and its framing would poison the keep-alive
+                    # stream, so require a length (RFC 9110 411).
+                    self._send(411, {"error": "chunked bodies unsupported; "
+                                              "send Content-Length"},
+                               headers=(("Connection", "close"),))
+                    return None
                 length = int(self.headers.get("Content-Length", 0))
                 if length > server_self.max_body_bytes:
+                    # Connection: close — the oversized body is never read,
+                    # so this connection cannot be reused.
                     self._send(413, {
                         "error": f"body too large ({length} bytes; max "
-                                 f"{server_self.max_body_bytes})"})
+                                 f"{server_self.max_body_bytes})"},
+                        headers=(("Connection", "close"),))
                     return None
                 return self.rfile.read(length)
 

@@ -108,6 +108,68 @@ def test_oversized_body_rejected_413_before_read():
         srv.stop()
 
 
+def test_keepalive_connection_reuse(server):
+    """HTTP/1.1 keep-alive: many requests over ONE TCP connection — the
+    socket must survive a GET, a classify POST, and a drained-body POST
+    to an unknown route, with correct framing throughout."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read())["status"] == "ok"
+        assert r.version == 11
+        img = _img_bytes()
+        for _ in range(2):
+            conn.request("POST", "/classify", body=img)
+            r = conn.getresponse()
+            assert r.status == 200
+            assert json.loads(r.read())["label"] in LABELS4
+        # unknown POST route with a small body: drained, connection lives
+        conn.request("POST", "/nope", body=b"x" * 100)
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        conn.request("GET", "/labels")
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read()) == LABELS4
+    finally:
+        conn.close()
+
+
+def test_oversized_and_chunked_close_the_connection():
+    """Paths that can't consume the body must not poison keep-alive: 413
+    and 411 answer with Connection: close; the unread bytes die with the
+    socket instead of being misparsed as the next request."""
+    import http.client
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(0), TINY), TINY,
+        batch_size=4, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0, warmup=False, max_body_bytes=1024).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request("POST", "/classify", body=b"z" * 4096)
+        r = conn.getresponse()
+        assert r.status == 413
+        assert r.headers.get("Connection", "").lower() == "close"
+        r.read()
+        conn.close()
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.putrequest("POST", "/classify")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        # don't bother sending chunks; the 411 is answered from headers
+        r = conn.getresponse()
+        assert r.status == 411
+        assert r.headers.get("Connection", "").lower() == "close"
+        conn.close()
+    finally:
+        srv.stop()
+
+
 def test_unknown_route(server):
     status, _ = _post(server, "/nope", b"")
     assert status == 404
