@@ -113,6 +113,27 @@ def cmd_validate(args):
     print(json.dumps(stats, indent=2))
 
 
+def cmd_eval_ckpts(args):
+    from roomnet_tpu.infer.classify import evaluate_checkpoints
+
+    out = evaluate_checkpoints(
+        args.model_dir, args.list_file,
+        _model_cfg(args.img_side, bf16=not args.exact),
+        batch_size=args.batch_size,
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+    for e in out["checkpoints"]:
+        name_acc = ("-" if e["name_accuracy"] is None
+                    else f"{e['name_accuracy']:.4f}")
+        print(f"step {e['step']:>8}  name-acc {name_acc:>6}  "
+              f"measured {e['accuracy']:.4f}  {e['checkpoint']}")
+    b = out["best"]
+    print(f"best: step {b['step']}  accuracy {b['accuracy']:.4f}  "
+          f"({b['checkpoint']})")
+
+
 def cmd_doctor(args):
     """Environment/installation diagnostics: one PASS/WARN/FAIL line per
     dependency the framework's surfaces need. Exit code 1 on any FAIL."""
@@ -363,6 +384,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "weights' dense head (README.md:32 variants)")
     v.set_defaults(fn=cmd_validate)
 
+    ev = sub.add_parser(
+        "eval-ckpts",
+        help="re-score EVERY checkpoint in a dir against one list file "
+             "(consistent model selection vs the filename accuracies "
+             "legacy_plotter.py trusts)",
+    )
+    ev.add_argument("--model-dir", required=True)
+    ev.add_argument("--list-file", required=True)
+    ev.add_argument("--batch-size", type=int, default=64)
+    ev.add_argument("--exact", action="store_true")
+    ev.add_argument("--img-side", type=int, default=224)
+    ev.add_argument("--out", default=None,
+                    help="also write the full per-checkpoint JSON here")
+    ev.set_defaults(fn=cmd_eval_ckpts)
+
     c = sub.add_parser("convert", help="TF checkpoint -> native params")
     c.add_argument("--tf-ckpt", default="/root/reference/final_model/roomnet")
     c.add_argument("--out", default="artifacts/roomnet_params.npz")
@@ -465,7 +501,7 @@ def _enable_compile_cache():
 # design: no multi-second jax import, no cache-dir mkdir.
 _DEVICE_CMDS = frozenset(
     ("cmd_train", "cmd_infer", "cmd_validate", "cmd_serve", "cmd_bench",
-     "cmd_export")
+     "cmd_export", "cmd_eval_ckpts")
 )
 
 

@@ -471,6 +471,66 @@ def _warn_copy(fpath: str, dst_dir: str, why: str) -> None:
     shutil.copy(fpath, dst_dir)
 
 
+def evaluate_checkpoints(
+    model_dir: str,
+    list_fpath: str,
+    cfg=DEFAULT_CONFIG,
+    *,
+    batch_size: int = 64,
+    mesh=None,
+    class_labels: list[str] | None = None,
+) -> dict:
+    """Re-score EVERY checkpoint in a training dir against a labeled list.
+
+    The reference picks its best model by the accuracy embedded in
+    checkpoint FILENAMES (legacy_plotter.py:19-37) — an accuracy measured
+    against whatever val set was live during that run. This measures all
+    of them against one list file, so model selection uses a consistent
+    yardstick (and works on 'interrupt'/'stall' checkpoints, which carry
+    no accuracy in their names).
+
+    One compile total: the jitted predict takes variables as a traced
+    argument, so swapping checkpoints is a weight upload, not a recompile
+    (same mechanism as the serving daemon's hot reload).
+
+    Returns {"checkpoints": [{step, checkpoint, name_accuracy,
+    accuracy, precisions, recalls, f-scores}...], "best": <entry>}.
+    """
+    from roomnet_tpu.params import schema
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    store = CheckpointStore(model_dir)
+    ckpts = store.list_checkpoints()
+    if not ckpts:
+        raise FileNotFoundError(f"no checkpoints in {model_dir}")
+    clf = None
+    entries = []
+    for step, suffix, path in ckpts:
+        var_flat, _ = store.load(path, cfg=cfg)
+        variables = schema.unflatten_variables(var_flat, cfg=cfg)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        if clf is None:
+            clf = RoomNetClassifier(
+                variables, cfg, batch_size=batch_size, mesh=mesh,
+                class_labels=class_labels,
+            )
+        else:
+            clf.variables = variables
+        try:
+            name_acc = float(suffix)
+        except ValueError:
+            name_acc = None
+        entry = {"step": step, "checkpoint": os.path.basename(path),
+                 "name_accuracy": name_acc}
+        entry.update(groundtruth_validation(clf, list_fpath))
+        entries.append(entry)
+    best = max(entries, key=lambda e: (e["accuracy"], e["step"]))
+    return {"checkpoints": entries, "best": best}
+
+
 def groundtruth_validation(classifier: RoomNetClassifier, list_fpath: str) -> dict:
     """Re-score a labeled list file (reference infer.py:41-57, un-broken:
     the reference's version crashes on a commented-out constant)."""

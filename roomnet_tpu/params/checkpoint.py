@@ -81,6 +81,21 @@ class CheckpointStore:
         os.replace(tmp, path)
         return path
 
+    def list_checkpoints(self) -> list[tuple[int, str, str]]:
+        """Every checkpoint in the dir as (step, suffix, path), step-sorted.
+
+        Suffix is whatever sits between the dashes — the accuracy string
+        for regular saves (network.py:98-102 naming), or markers like
+        'interrupt'/'stall'/'none'. Keep-all semantics mean this is the
+        full training history."""
+        out = []
+        for p in glob(os.path.join(self.model_dir, "roomnet--*--*.npz")):
+            m = CKPT_RE.search(os.path.basename(p))
+            if m:
+                out.append((int(m.group("step")), m.group("suffix"), p))
+        out.sort(key=lambda t: (t[0], t[2]))
+        return out
+
     def latest_path(self) -> str | None:
         """Max-step checkpoint in the dir, parsed from filenames (network.py:110-118)."""
         paths = glob(os.path.join(self.model_dir, "roomnet--*--*.npz"))

@@ -17,6 +17,7 @@ def test_cli_parses_all_subcommands():
         ["train", "--data-dir", "/x", "--curriculum"],
         ["infer", "--images-dir", "/x", "--no-overlay", "--exact"],
         ["validate", "--list-file", "/x"],
+        ["eval-ckpts", "--model-dir", "/m", "--list-file", "/x"],
         ["convert"],
         ["plot"],
         ["plot-checkpoints", "--model-dir", "/m"],

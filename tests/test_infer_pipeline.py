@@ -257,6 +257,56 @@ def test_groundtruth_validation(classifier, tmp_path):
     assert set(stats) == {"accuracy", "precisions", "recalls", "f-scores"}
 
 
+def test_evaluate_checkpoints_sweeps_and_picks_best(classifier, tmp_path):
+    """eval-ckpts re-scores every checkpoint in a dir against ONE list
+    file: ground truth built from checkpoint A's predictions must rank A
+    (accuracy 1.0) above a different-weights checkpoint, include marker
+    checkpoints ('interrupt') that carry no filename accuracy, and parse
+    the name accuracy where present (legacy_plotter.py:19-37 contrast)."""
+    from roomnet_tpu.infer.classify import evaluate_checkpoints
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    d = str(tmp_path / "imgs")
+    paths = _write_images(d, 6)
+    from roomnet_tpu.params import schema
+
+    var_a = classifier.variables
+    # B = A with the head's output units rolled: an exact logit
+    # permutation, so every argmax shifts by one class — deterministically
+    # 0.0 accuracy on A-labeled ground truth (a second random init can
+    # coincidentally tie A).
+    flat_b = schema.flatten_variables(jax.device_get(var_a))
+    flat_b["dense/2/kernel"] = np.roll(flat_b["dense/2/kernel"], 1, axis=1)
+    flat_b["dense/2/bias"] = np.roll(flat_b["dense/2/bias"], 1)
+    var_b = schema.unflatten_variables(flat_b, TINY)
+    store = CheckpointStore(str(tmp_path / "ckpts"))
+    store.save(var_b, 100, suffix="0.5000")
+    store.save(var_a, 200, suffix="0.9000")
+    store.save(var_b, 300, suffix="interrupt")
+    ids, _, _ = classifier.predict_paths(paths)
+    lst = tmp_path / "list.txt"
+    with open(lst, "w") as f:
+        for p, i in zip(paths, ids):
+            f.write(f"{p} {int(i)}\n")
+    out = evaluate_checkpoints(str(tmp_path / "ckpts"), str(lst), TINY,
+                               batch_size=4, class_labels=LABELS4)
+    steps = [e["step"] for e in out["checkpoints"]]
+    assert steps == [100, 200, 300]
+    by_step = {e["step"]: e for e in out["checkpoints"]}
+    assert by_step[200]["accuracy"] == 1.0
+    assert by_step[100]["accuracy"] == 0.0  # rolled head: every argmax off
+    assert by_step[100]["name_accuracy"] == 0.5
+    assert by_step[300]["name_accuracy"] is None  # 'interrupt' marker
+    # same weights -> same score, regardless of position in the sweep
+    assert by_step[300]["accuracy"] == by_step[100]["accuracy"]
+    assert out["best"]["step"] == 200
+    # empty dir raises instead of returning a silent empty report
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        evaluate_checkpoints(str(tmp_path / "nothing"), str(lst), TINY)
+
+
 def test_classifier_sharded_over_mesh(tmp_path):
     """Directory inference sharded over the 'data' axis of an 8-device mesh
     produces the same labels as the single-device path (SURVEY.md §2.4:
