@@ -305,6 +305,16 @@ def test_evaluate_checkpoints_sweeps_and_picks_best(classifier, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         evaluate_checkpoints(str(tmp_path / "nothing"), str(lst), TINY)
+    # mesh-sharded sweep: replicated weight placement, same scores
+    if len(jax.devices()) >= 8:
+        from roomnet_tpu.parallel.mesh import make_mesh
+
+        out_m = evaluate_checkpoints(str(tmp_path / "ckpts"), str(lst), TINY,
+                                     batch_size=8, mesh=make_mesh(8, 1),
+                                     class_labels=LABELS4)
+        assert ([e["accuracy"] for e in out_m["checkpoints"]]
+                == [e["accuracy"] for e in out["checkpoints"]])
+        assert out_m["best"]["step"] == 200
 
 
 def test_classifier_sharded_over_mesh(tmp_path):
