@@ -119,7 +119,7 @@ def cmd_eval_ckpts(args):
     out = evaluate_checkpoints(
         args.model_dir, args.list_file,
         _model_cfg(args.img_side, bf16=not args.exact),
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, backend=args.ckpt_backend,
     )
     if args.out:
         with open(args.out, "w") as f:
@@ -397,6 +397,10 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--img-side", type=int, default=224)
     ev.add_argument("--out", default=None,
                     help="also write the full per-checkpoint JSON here")
+    ev.add_argument("--ckpt-backend", choices=["auto", "npz", "orbax"],
+                    default="auto",
+                    help="checkpoint store format in --model-dir "
+                         "(auto: npz files win if present)")
     ev.set_defaults(fn=cmd_eval_ckpts)
 
     c = sub.add_parser("convert", help="TF checkpoint -> native params")

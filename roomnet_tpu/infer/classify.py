@@ -479,6 +479,7 @@ def evaluate_checkpoints(
     batch_size: int = 64,
     mesh=None,
     class_labels: list[str] | None = None,
+    backend: str = "auto",
 ) -> dict:
     """Re-score EVERY checkpoint in a training dir against a labeled list.
 
@@ -496,10 +497,22 @@ def evaluate_checkpoints(
     Returns {"checkpoints": [{step, checkpoint, name_accuracy,
     accuracy, precisions, recalls, f-scores}...], "best": <entry>}.
     """
+    import glob as _glob
+
     from roomnet_tpu.params import schema
     from roomnet_tpu.params.checkpoint import CheckpointStore
 
-    store = CheckpointStore(model_dir)
+    if backend == "auto":
+        # npz files vs orbax OCDBT dirs share the roomnet--*--* naming;
+        # the extension tells them apart.
+        has_npz = bool(_glob.glob(os.path.join(model_dir, "roomnet--*--*.npz")))
+        backend = "npz" if has_npz else "orbax"
+    if backend == "orbax":
+        from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
+
+        store = OrbaxCheckpointStore(model_dir, async_save=False)
+    else:
+        store = CheckpointStore(model_dir)
     ckpts = store.list_checkpoints()
     if not ckpts:
         raise FileNotFoundError(f"no checkpoints in {model_dir}")

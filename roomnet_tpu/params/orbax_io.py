@@ -57,6 +57,17 @@ class OrbaxCheckpointStore:
         if hasattr(self._ckptr, "wait_until_finished"):
             self._ckptr.wait_until_finished()
 
+    def list_checkpoints(self) -> list[tuple[int, str, str]]:
+        """Every checkpoint dir as (step, suffix, path), step-sorted —
+        CheckpointStore.list_checkpoints parity for the orbax backend."""
+        out = []
+        for p in glob(os.path.join(self.model_dir, "roomnet--*--*")):
+            m = CKPT_DIR_RE.search(os.path.basename(p))
+            if m and os.path.isdir(p):
+                out.append((int(m.group("step")), m.group("suffix"), p))
+        out.sort(key=lambda t: (t[0], t[2]))
+        return out
+
     def latest_path(self) -> str | None:
         best, best_step = None, -1
         for p in glob(os.path.join(self.model_dir, "roomnet--*--*")):

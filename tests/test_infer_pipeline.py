@@ -305,6 +305,18 @@ def test_evaluate_checkpoints_sweeps_and_picks_best(classifier, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         evaluate_checkpoints(str(tmp_path / "nothing"), str(lst), TINY)
+    # orbax-backend sweep (auto-detected from the dir contents): the
+    # trainer's other checkpoint store gets the same model selection
+    from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
+
+    ostore = OrbaxCheckpointStore(str(tmp_path / "orbax"), async_save=False)
+    ostore.save(var_b, 10, suffix="0.1000")
+    ostore.save(var_a, 20, suffix="0.8000")
+    out_o = evaluate_checkpoints(str(tmp_path / "orbax"), str(lst), TINY,
+                                 batch_size=4, class_labels=LABELS4)
+    assert [e["step"] for e in out_o["checkpoints"]] == [10, 20]
+    assert out_o["best"]["step"] == 20
+    assert out_o["best"]["accuracy"] == 1.0
     # mesh-sharded sweep: replicated weight placement, same scores
     if len(jax.devices()) >= 8:
         from roomnet_tpu.parallel.mesh import make_mesh
