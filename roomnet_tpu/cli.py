@@ -124,6 +124,10 @@ def cmd_eval_ckpts(args):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
+    if args.plot:
+        from roomnet_tpu.plotting.plotter import plot_eval_sweep
+
+        print("plot:", plot_eval_sweep(out, args.plot))
     for e in out["checkpoints"]:
         name_acc = ("-" if e["name_accuracy"] is None
                     else f"{e['name_accuracy']:.4f}")
@@ -401,6 +405,8 @@ def build_parser() -> argparse.ArgumentParser:
                     default="auto",
                     help="checkpoint store format in --model-dir "
                          "(auto: npz files win if present)")
+    ev.add_argument("--plot", default=None, metavar="PNG",
+                    help="also render measured-vs-filename accuracy by step")
     ev.set_defaults(fn=cmd_eval_ckpts)
 
     c = sub.add_parser("convert", help="TF checkpoint -> native params")

@@ -142,3 +142,31 @@ def plot_checkpoint_accuracies(model_dir: str, out_path: str | None = None) -> s
     plt.ylabel("Validation Overall Accuracy")
     plt.savefig(out_path, bbox_inches="tight", dpi=200)
     return out_path
+
+
+def plot_eval_sweep(eval_result: dict, out_path: str) -> str:
+    """Measured-vs-filename accuracy by step, from an
+    `infer.classify.evaluate_checkpoints` result. The gap between the
+    two curves is the point of eval-ckpts: filename accuracies were
+    scored against whatever val set was live during each run
+    (legacy_plotter.py trusts them); the measured curve uses one
+    consistent list file."""
+    plt = _plt()
+    entries = eval_result["checkpoints"]
+    steps = np.array([e["step"] for e in entries])
+    measured = np.array([e["accuracy"] for e in entries])
+    named = [(e["step"], e["name_accuracy"]) for e in entries
+             if e["name_accuracy"] is not None]
+    plt.clf()
+    plt.plot(steps, measured, "-o", color="red", label="Measured Accuracy")
+    if named:
+        plt.plot([s for s, _ in named], [a for _, a in named], "--x",
+                 color="gray", label="Filename Accuracy")
+    best = eval_result["best"]
+    plt.title(f"Best measured model is at step {best['step']}"
+              f"\nwith value {best['accuracy']}")
+    plt.legend(loc="best")
+    plt.xlabel("Train Step")
+    plt.ylabel("Accuracy on the evaluation list")
+    plt.savefig(out_path, bbox_inches="tight", dpi=200)
+    return out_path

@@ -193,6 +193,28 @@ def test_plot_training_stats(tmp_path):
     assert all(os.path.getsize(o) > 1000 for o in outs)
 
 
+def test_plot_eval_sweep(tmp_path):
+    """The eval-ckpts plot renders measured + filename curves and survives
+    marker checkpoints with no filename accuracy."""
+    from roomnet_tpu.plotting.plotter import plot_eval_sweep
+
+    result = {
+        "checkpoints": [
+            {"step": 10, "name_accuracy": 0.5, "accuracy": 0.4},
+            {"step": 20, "name_accuracy": None, "accuracy": 0.9},
+            {"step": 30, "name_accuracy": 0.8, "accuracy": 0.7},
+        ],
+        "best": {"step": 20, "accuracy": 0.9},
+    }
+    out = plot_eval_sweep(result, str(tmp_path / "sweep.png"))
+    assert os.path.getsize(out) > 1000
+    # all-marker sweeps (no filename accuracies at all) still plot
+    for e in result["checkpoints"]:
+        e["name_accuracy"] = None
+    out2 = plot_eval_sweep(result, str(tmp_path / "sweep2.png"))
+    assert os.path.getsize(out2) > 1000
+
+
 def test_plot_checkpoint_accuracies(tmp_path):
     for acc, step in [("0.5", 10), ("0.8", 30), ("0.7", 20)]:
         (tmp_path / f"roomnet--{acc}--{step}.npz").write_bytes(b"x")
