@@ -293,7 +293,8 @@ def cmd_serve(args):
                      request_timeout_s=args.request_timeout,
                      # Same dir the weights came from: POST /reload
                      # hot-swaps to its newest checkpoint.
-                     model_dir=args.model_dir).serve_forever()
+                     model_dir=args.model_dir,
+                     auto_reload_s=args.auto_reload).serve_forever()
 
 
 def cmd_bench(args):
@@ -466,6 +467,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-inflight", type=int, default=None,
                    help="admission cap before 429 shedding "
                         "(default 4x max_batch)")
+    s.add_argument("--auto-reload", type=float, default=None, metavar="S",
+                   help="poll --model-dir every S seconds and hot-swap when "
+                        "a newer checkpoint lands (a live trainer's output "
+                        "starts serving with no /reload call)")
     s.add_argument("--request-timeout", type=float, default=30.0,
                    help="per-request budget cap (s), stamped at admission; "
                         "clients may lower it per-request via the "

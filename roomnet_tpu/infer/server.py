@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -93,18 +94,29 @@ class ClassifierServer:
                  decode_workers: int | None = None,
                  request_timeout_s: float = 30.0,
                  model_dir: str | None = None,
-                 max_body_bytes: int = 256 << 20):
+                 max_body_bytes: int = 256 << 20,
+                 auto_reload_s: float | None = None):
         """model_dir: enables POST /reload — re-scan this checkpoint dir
         (resume-latest semantics, the trainer's output) and atomically
         swap the serving weights without a restart or recompile (the
         jitted forward takes variables as an argument; in-flight device
         calls keep the old pytree). The dir is FIXED at startup: the
-        reload endpoint never accepts a path from the network."""
+        reload endpoint never accepts a path from the network.
+
+        auto_reload_s: poll model_dir every N seconds and hot-swap when a
+        NEWER max-step checkpoint lands — a live trainer's output starts
+        serving without anyone calling /reload. The poll is filename-only
+        (no load) until the step actually advances; a rejected checkpoint
+        (corrupt/NaN/shape-mismatch) keeps the old weights and is retried
+        on the next poll, by the same guarded path /reload uses."""
         self.classifier = classifier
         self.host = host
         self.port = port
         self.model_dir = model_dir
         self.model_version: dict = {"step": None, "path": "initial"}
+        if auto_reload_s is not None and model_dir is None:
+            raise ValueError("auto_reload_s needs model_dir")
+        self.auto_reload_s = auto_reload_s
         # The jitted _predict is compiled for exactly classifier.batch_size
         # rows; coalescing more jobs than that would overflow the device
         # batch, so clamp (a larger max_batch would otherwise IndexError in
@@ -125,8 +137,6 @@ class ClassifierServer:
         # Bounded decode pool: cv2 decode is the CPU-heavy part of a
         # request; per-request handler threads would run all of them
         # concurrently under a burst.
-        import os
-
         self._decode_pool = ThreadPoolExecutor(
             max_workers=decode_workers or min(4, (os.cpu_count() or 1) * 2)
         )
@@ -780,9 +790,38 @@ class ClassifierServer:
             threading.Thread(target=self._worker, daemon=True),
             threading.Thread(target=self._httpd.serve_forever, daemon=True),
         ]
+        if self.auto_reload_s is not None:
+            self._threads.append(
+                threading.Thread(target=self._auto_reload_loop, daemon=True)
+            )
         for t in self._threads:
             t.start()
         return self
+
+    def _auto_reload_loop(self):
+        from roomnet_tpu.params.checkpoint import CheckpointStore, CKPT_RE
+        from roomnet_tpu.utils.logging import get_logger
+
+        log = get_logger("server")
+        store = CheckpointStore(self.model_dir)
+        last_rejected = None  # warn once per failing step, not per poll
+        while not self._stop.wait(self.auto_reload_s):
+            path = store.latest_path()
+            if path is None:
+                continue
+            m = CKPT_RE.search(os.path.basename(path))
+            step = int(m.group("step")) if m else None
+            current = self.model_version.get("step")
+            if step is None or (current is not None and step <= current):
+                continue
+            code, payload = self._reload_latest()
+            if code == 200:
+                last_rejected = None
+                log.info("auto-reload: now serving step %s", payload["step"])
+            elif step != last_rejected:
+                last_rejected = step
+                log.warning("auto-reload: step %s rejected (%s); keeping "
+                            "step %s", step, payload.get("error"), current)
 
     def stop(self):
         self._stop.set()

@@ -785,6 +785,60 @@ def test_hot_reload_swaps_weights_without_restart(tmp_path):
         srv.stop()
 
 
+def test_auto_reload_picks_up_new_checkpoints(tmp_path):
+    """auto_reload_s: a newer max-step checkpoint landing in model_dir
+    starts serving WITHOUT a /reload call; a rejected (shape-mismatched)
+    newer checkpoint keeps the old weights; same-step polls are no-ops."""
+    import dataclasses
+    import time
+
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(23), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    mdir = str(tmp_path / "models")
+    store = CheckpointStore(mdir)
+    with pytest.raises(ValueError):
+        ClassifierServer(clf, port=0, auto_reload_s=0.05)  # needs model_dir
+    srv = ClassifierServer(clf, port=0, model_dir=mdir,
+                           auto_reload_s=0.05).start()
+    try:
+        def version_step():
+            with urllib.request.urlopen(_url(srv, "/version"), timeout=10) as r:
+                return json.loads(r.read())["step"]
+
+        def wait_for(step, timeout=10.0):
+            t_end = time.monotonic() + timeout
+            while time.monotonic() < t_end:
+                if version_step() == step:
+                    return True
+                time.sleep(0.05)
+            return False
+
+        body = _img_bytes(seed=9)
+        st, before = _post(srv, "/classify", body)
+        assert st == 200 and version_step() is None
+
+        store.save(init_variables(jax.random.PRNGKey(99), TINY), 7,
+                   suffix="0.9")
+        assert wait_for(7), "auto-reload never picked up step 7"
+        st, after = _post(srv, "/classify", body)
+        assert st == 200 and before["probs"] != after["probs"]
+
+        # a NEWER but incompatible checkpoint: rejected, still serving 7
+        bad_cfg = dataclasses.replace(TINY, num_classes=3)
+        store.save(init_variables(jax.random.PRNGKey(1), bad_cfg), 9,
+                   suffix="bad")
+        time.sleep(0.5)
+        assert version_step() == 7
+        st, still = _post(srv, "/classify", body)
+        assert st == 200 and still["probs"] == after["probs"]
+    finally:
+        srv.stop()
+
+
 def test_hot_reload_during_live_traffic(tmp_path):
     """/reload racing a request burst: every request answers 200 (served
     by either the old or new weights — the swap is atomic per device
