@@ -848,8 +848,27 @@ class ClassifierServer:
                 _time.sleep(0.05)
 
     def serve_forever(self):
+        """Run until interrupted. SIGTERM (systemd/k8s stop) gets the same
+        clean shutdown as Ctrl-C: stop() fails queued requests fast instead
+        of the process dying mid-handler with client-visible resets —
+        mirroring the trainer's preemption handling (train/loop.py)."""
+        import signal
+        import threading as _threading
+
         self.start()
+
+        def _sigterm(*_):
+            raise KeyboardInterrupt
+
+        if _threading.current_thread() is _threading.main_thread():
+            prev = signal.signal(signal.SIGTERM, _sigterm)
+        else:
+            prev = None  # signal.signal only works from the main thread
         try:
             self._threads[1].join()
         except KeyboardInterrupt:
+            pass
+        finally:
             self.stop()
+            if prev is not None:
+                signal.signal(signal.SIGTERM, prev)

@@ -670,6 +670,30 @@ def test_classify_batch_stream_device_error_mid_stream():
         srv.stop()
 
 
+def test_serve_forever_sigterm_clean_shutdown():
+    """SIGTERM (systemd/k8s stop) must unwind serve_forever through the
+    same clean stop() as Ctrl-C — process-level kill mid-handler would
+    reset client connections instead of failing queued work fast."""
+    import os
+    import signal
+    import threading
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(0), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0, warmup=False)
+    prev = signal.getsignal(signal.SIGTERM)
+    threading.Timer(0.5, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+    t0 = time.monotonic()
+    srv.serve_forever()  # blocks the main thread until the signal
+    assert time.monotonic() - t0 < 10
+    assert srv._stop.is_set()
+    # the previous SIGTERM disposition is restored on the way out
+    assert signal.getsignal(signal.SIGTERM) == prev
+
+
 def test_stop_fails_queued_jobs_fast():
     """Graceful shutdown: jobs still queued when stop() runs must get a
     fast 503, not sit out their full request budget."""
