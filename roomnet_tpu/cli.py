@@ -272,6 +272,8 @@ def cmd_export(args):
 
     out = export_tflite(
         _load_variables(args.params, getattr(args, "model_dir", None)), args.out,
+        # TFLite is float32: exact geometry, never the bf16 config.
+        cfg=_model_cfg(args.img_side, bf16=False),
         quantize=args.quantize,
     )
     print("exported:", out)
@@ -294,7 +296,8 @@ def cmd_serve(args):
                      # Same dir the weights came from: POST /reload
                      # hot-swaps to its newest checkpoint.
                      model_dir=args.model_dir,
-                     auto_reload_s=args.auto_reload).serve_forever()
+                     auto_reload_s=args.auto_reload,
+                     access_log=args.access_log).serve_forever()
 
 
 def cmd_bench(args):
@@ -448,6 +451,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--quantize", choices=["dynamic", "int8"], default=None,
                    help="quantized variant (mobile/README.md for measured "
                         "flip rates; dynamic is the shipped winner)")
+    e.add_argument("--img-side", type=int, default=224,
+                   help="model input geometry; must match the loaded "
+                        "weights' dense head")
     e.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("serve", help="HTTP classification daemon")
@@ -467,6 +473,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-inflight", type=int, default=None,
                    help="admission cap before 429 shedding "
                         "(default 4x max_batch)")
+    s.add_argument("--access-log", default=None, metavar="PATH",
+                   help="append one JSON line per answered request "
+                        "(method, path, status, ms)")
     s.add_argument("--auto-reload", type=float, default=None, metavar="S",
                    help="poll --model-dir every S seconds and hot-swap when "
                         "a newer checkpoint lands (a live trainer's output "

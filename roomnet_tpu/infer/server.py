@@ -95,7 +95,8 @@ class ClassifierServer:
                  request_timeout_s: float = 30.0,
                  model_dir: str | None = None,
                  max_body_bytes: int = 256 << 20,
-                 auto_reload_s: float | None = None):
+                 auto_reload_s: float | None = None,
+                 access_log: str | None = None):
         """model_dir: enables POST /reload — re-scan this checkpoint dir
         (resume-latest semantics, the trainer's output) and atomically
         swap the serving weights without a restart or recompile (the
@@ -117,6 +118,12 @@ class ClassifierServer:
         if auto_reload_s is not None and model_dir is None:
             raise ValueError("auto_reload_s needs model_dir")
         self.auto_reload_s = auto_reload_s
+        from roomnet_tpu.utils.logging import EventLog
+
+        # JSON-lines per answered request: {ts, kind:"request", method,
+        # path, status, ms}. For the streaming endpoint ms is
+        # time-to-first-byte (the 200 head precedes the NDJSON body).
+        self._access_log = EventLog(access_log)
         # The jitted _predict is compiled for exactly classifier.batch_size
         # rows; coalescing more jobs than that would overflow the device
         # batch, so clamp (a larger max_batch would otherwise IndexError in
@@ -562,6 +569,22 @@ class ClassifierServer:
             def log_message(self, *a):  # quiet
                 pass
 
+            def log_request(self, code="-", size="-"):
+                # Called by send_response on every answered request —
+                # the one choke point that sees every status code.
+                if server_self._access_log.path is not None:
+                    import time as _time
+
+                    t0 = getattr(self, "_t0", None)
+                    server_self._access_log.emit(
+                        "request",
+                        method=self.command,
+                        path=self.path.partition("?")[0],
+                        status=int(code) if str(code).isdigit() else str(code),
+                        ms=(round((_time.monotonic() - t0) * 1e3, 3)
+                            if t0 is not None else None),
+                    )
+
             def _send(self, code: int, payload, headers=()):
                 body = (
                     payload if isinstance(payload, bytes) else json.dumps(payload).encode()
@@ -579,6 +602,9 @@ class ClassifierServer:
                            headers=(("Retry-After", "1"),))
 
             def do_GET(self):
+                import time as _time
+
+                self._t0 = _time.monotonic()
                 if self.path == "/healthz":
                     self._send(200, {"status": "ok"})
                 elif self.path == "/labels":
@@ -593,6 +619,9 @@ class ClassifierServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
+                import time as _time
+
+                self._t0 = _time.monotonic()
                 path, _, query = self.path.partition("?")
                 if path == "/classify":
                     self._classify_single()

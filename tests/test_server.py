@@ -670,6 +670,35 @@ def test_classify_batch_stream_device_error_mid_stream():
         srv.stop()
 
 
+def test_access_log_records_every_answered_request(tmp_path):
+    """--access-log: one JSON line per answered request with method, path
+    (query stripped), status, and a sane latency — across 200/400/404."""
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(0), TINY), TINY,
+        batch_size=4, class_labels=LABELS4,
+    )
+    log_path = str(tmp_path / "access.jsonl")
+    srv = ClassifierServer(clf, port=0, warmup=False,
+                           access_log=log_path).start()
+    try:
+        assert _post(srv, "/classify", _img_bytes())[0] == 200
+        assert _post(srv, "/classify", b"junk")[0] == 400
+        assert _post(srv, "/nope", b"")[0] == 404
+        with urllib.request.urlopen(_url(srv, "/healthz"), timeout=10) as r:
+            assert r.status == 200
+    finally:
+        srv.stop()
+    with open(log_path) as f:
+        recs = [json.loads(l) for l in f]
+    by_path = {(r["method"], r["path"], r["status"]) for r in recs}
+    assert ("POST", "/classify", 200) in by_path
+    assert ("POST", "/classify", 400) in by_path
+    assert ("POST", "/nope", 404) in by_path
+    assert ("GET", "/healthz", 200) in by_path
+    assert all(r["kind"] == "request" for r in recs)
+    assert all(r["ms"] is None or 0 <= r["ms"] < 60_000 for r in recs)
+
+
 def test_serve_forever_sigterm_clean_shutdown():
     """SIGTERM (systemd/k8s stop) must unwind serve_forever through the
     same clean stop() as Ctrl-C — process-level kill mid-handler would
