@@ -571,19 +571,31 @@ class ClassifierServer:
 
             def log_request(self, code="-", size="-"):
                 # Called by send_response on every answered request —
-                # the one choke point that sees every status code.
+                # the one choke point that sees every status code. Runs
+                # BEFORE the status line is written, so a logging failure
+                # (unwritable path, disk full) must never propagate: it
+                # would turn every request into a connection reset.
                 if server_self._access_log.path is not None:
                     import time as _time
 
                     t0 = getattr(self, "_t0", None)
-                    server_self._access_log.emit(
-                        "request",
-                        method=self.command,
-                        path=self.path.partition("?")[0],
-                        status=int(code) if str(code).isdigit() else str(code),
-                        ms=(round((_time.monotonic() - t0) * 1e3, 3)
-                            if t0 is not None else None),
-                    )
+                    try:
+                        server_self._access_log.emit(
+                            "request",
+                            method=self.command,
+                            path=self.path.partition("?")[0],
+                            status=(int(code) if str(code).isdigit()
+                                    else str(code)),
+                            ms=(round((_time.monotonic() - t0) * 1e3, 3)
+                                if t0 is not None else None),
+                        )
+                    except OSError as exc:
+                        from roomnet_tpu.utils.logging import get_logger
+
+                        # drop the log line, keep serving; warn once
+                        server_self._access_log.path = None
+                        get_logger("server").warning(
+                            "access log disabled: %s", exc)
 
             def _send(self, code: int, payload, headers=()):
                 body = (
@@ -637,9 +649,17 @@ class ClassifierServer:
 
             def _drain_small_body(self):
                 """Consume an incidental request body so keep-alive framing
-                stays intact on endpoints that ignore bodies; anything big
-                forces a close instead of a pointless read."""
-                length = int(self.headers.get("Content-Length", 0))
+                stays intact on endpoints that ignore bodies; anything big,
+                chunked, or malformed forces a close instead."""
+                if "chunked" in self.headers.get("Transfer-Encoding",
+                                                 "").lower():
+                    self.close_connection = True
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self.close_connection = True
+                    return
                 if 0 < length <= (1 << 16):
                     self.rfile.read(length)
                 elif length:
@@ -672,7 +692,12 @@ class ClassifierServer:
                                               "send Content-Length"},
                                headers=(("Connection", "close"),))
                     return None
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self._send(400, {"error": "malformed Content-Length"},
+                               headers=(("Connection", "close"),))
+                    return None
                 if length > server_self.max_body_bytes:
                     # Connection: close — the oversized body is never read,
                     # so this connection cannot be reused.

@@ -699,6 +699,43 @@ def test_access_log_records_every_answered_request(tmp_path):
     assert all(r["ms"] is None or 0 <= r["ms"] < 60_000 for r in recs)
 
 
+def test_access_log_failure_never_breaks_serving(tmp_path):
+    """log_request runs before the status line is written — an unwritable
+    access-log path must disable logging with a warning, not turn every
+    request into a connection reset."""
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(0), TINY), TINY,
+        batch_size=4, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(
+        clf, port=0, warmup=False,
+        access_log=str(tmp_path / "no_such_dir" / "access.jsonl"),
+    ).start()
+    try:
+        st, out = _post(srv, "/classify", _img_bytes())
+        assert st == 200 and out["label"] in LABELS4
+        assert srv._access_log.path is None  # disabled after first failure
+        st, _ = _post(srv, "/classify", _img_bytes())
+        assert st == 200
+    finally:
+        srv.stop()
+
+
+def test_malformed_content_length_answers_400(server):
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        conn.putrequest("POST", "/classify")
+        conn.putheader("Content-Length", "not-a-number")
+        conn.endheaders()
+        r = conn.getresponse()
+        assert r.status == 400
+        assert r.headers.get("Connection", "").lower() == "close"
+    finally:
+        conn.close()
+
+
 def test_serve_forever_sigterm_clean_shutdown():
     """SIGTERM (systemd/k8s stop) must unwind serve_forever through the
     same clean stop() as Ctrl-C — process-level kill mid-handler would
