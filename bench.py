@@ -305,6 +305,7 @@ def main():
 
     # ---- steady-state serving latency (persistent daemon, warm device) ----
     serve_p50_ms = None
+    serve_p50_keepalive_ms = None
     try:
         import tempfile
         import urllib.request
@@ -372,6 +373,28 @@ def main():
         log(f"steady-state serving p50 (HTTP+decode+device): "
             f"{serve_p50_ms:.2f} ms  (p99 {serve_p99_ms:.1f} ms; "
             f"bucket transfer alone {serve_transfer_ms:.1f} ms at this relay)")
+        # Keep-alive twin of the p50 loop: same 40 requests over ONE
+        # HTTP/1.1 connection (how a production client talks to the
+        # daemon). Reported ALONGSIDE the per-connection number — that one
+        # keeps its cross-round definition.
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        try:
+            lat_ka = []
+            for _ in range(40):
+                t0 = time.perf_counter()
+                conn.request("POST", "/classify", body=body)
+                conn.getresponse().read()
+                lat_ka.append(time.perf_counter() - t0)
+            serve_p50_keepalive_ms = float(np.percentile(lat_ka, 50) * 1e3)
+            log(f"steady-state serving p50 over one keep-alive connection: "
+                f"{serve_p50_keepalive_ms:.2f} ms")
+        except Exception as exc:  # noqa: BLE001
+            serve_p50_keepalive_ms = None
+            log(f"keep-alive p50 segment skipped: {type(exc).__name__}: {exc}")
+        finally:
+            conn.close()
         # Concurrent throughput: the worker coalesces queued requests into
         # one padded device call, so aggregate req/s should far exceed
         # 1/p50 under load (the micro-batching design claim, measured).
@@ -469,6 +492,10 @@ def main():
             ),
             "steady_state_serving_p99_ms": (
                 round(serve_p99_ms, 3) if serve_p50_ms else None
+            ),
+            "steady_state_serving_p50_keepalive_ms": (
+                round(serve_p50_keepalive_ms, 3)
+                if serve_p50_keepalive_ms else None
             ),
             "serving_relay_MBps": (
                 round(serve_relay_mbps, 1) if serve_p50_ms else None
