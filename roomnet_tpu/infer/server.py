@@ -909,16 +909,17 @@ class ClassifierServer:
         import signal
         import threading as _threading
 
-        self.start()
-
         def _sigterm(*_):
             raise KeyboardInterrupt
 
+        # Install BEFORE start(): a stop signal racing server startup must
+        # hit the clean path, not the default process kill.
         if _threading.current_thread() is _threading.main_thread():
             prev = signal.signal(signal.SIGTERM, _sigterm)
         else:
             prev = None  # signal.signal only works from the main thread
         try:
+            self.start()
             self._threads[1].join()
         except KeyboardInterrupt:
             pass
