@@ -618,7 +618,23 @@ class ClassifierServer:
 
                 self._t0 = _time.monotonic()
                 if self.path == "/healthz":
+                    # Liveness: the HTTP plane answers.
                     self._send(200, {"status": "ok"})
+                elif self.path == "/readyz":
+                    # Readiness: traffic-worthy — the device worker thread
+                    # is alive and the server isn't draining. A k8s-style
+                    # gate so a rollout stops routing BEFORE requests start
+                    # dying in the queue.
+                    worker = (server_self._threads[0]
+                              if server_self._threads else None)
+                    if (not server_self._stop.is_set()
+                            and worker is not None and worker.is_alive()):
+                        self._send(200, {"status": "ready"})
+                    else:
+                        self._send(503, {
+                            "status": "not ready",
+                            "stopping": server_self._stop.is_set(),
+                        })
                 elif self.path == "/labels":
                     self._send(200, server_self.classifier.class_labels)
                 elif self.path == "/version":

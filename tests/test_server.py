@@ -60,6 +60,36 @@ def test_health_and_labels(server):
         assert json.loads(r.read()) == LABELS4
 
 
+def test_readyz_follows_worker_state():
+    """/readyz is the traffic gate: 200 while the device worker is alive,
+    503 once the server starts draining (k8s readiness semantics; the
+    liveness /healthz keeps answering 200 either way)."""
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(0), TINY), TINY,
+        batch_size=4, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0, warmup=False).start()
+    try:
+        with urllib.request.urlopen(_url(srv, "/readyz"), timeout=10) as r:
+            assert r.status == 200 and json.loads(r.read())["status"] == "ready"
+        srv._stop.set()  # draining: worker exits, HTTP still up
+        import time
+
+        deadline = time.monotonic() + 5
+        while time.monotonic() < deadline:
+            try:
+                urllib.request.urlopen(_url(srv, "/readyz"), timeout=10)
+            except urllib.error.HTTPError as e:
+                assert e.code == 503
+                assert json.loads(e.read())["stopping"] is True
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("/readyz never flipped to 503")
+    finally:
+        srv.stop()
+
+
 def test_classify_roundtrip(server):
     status, out = _post(server, "/classify", _img_bytes())
     assert status == 200
