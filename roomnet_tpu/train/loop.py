@@ -166,6 +166,17 @@ class Trainer:
         self.tc = tc
         self.cfg = cfg
         self.mesh = mesh
+        if tc.img_side != cfg.im_side:
+            # Caught here, where both values are in hand — otherwise this
+            # surfaces minutes later as an opaque flat_len/shape error in
+            # the first jit trace (the reference hits the same mismatch as
+            # a mid-graph crash when IMG_SIDE disagrees with a restored
+            # checkpoint's dense head, network.py:78).
+            raise ValueError(
+                f"TrainConfig.img_side={tc.img_side} (data pipeline) != "
+                f"cfg.im_side={cfg.im_side} (model geometry); pass matching "
+                f"values — the CLI's --img-side sets both"
+            )
         if tc.ckpt_backend == "orbax":
             from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
 

@@ -30,7 +30,7 @@ def data_dir(tmp_path):
 
 
 def _tc(tmp_path, **kw):
-    return TrainConfig(
+    base = dict(
         data_dir=str(tmp_path / "data"),
         train_list_fpath=str(tmp_path / "train_list.txt"),
         val_list_fpath=str(tmp_path / "val_list.txt"),
@@ -42,8 +42,20 @@ def _tc(tmp_path, **kw):
         val_batch_size=2,
         learn_rate=1e-3,
         l2_coeff=1e-4,
-        **kw,
     )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_trainer_rejects_geometry_mismatch(tmp_path):
+    """img_side (data pipeline) disagreeing with cfg.im_side (model) must
+    fail LOUDLY at construction — not minutes later as an opaque
+    flat_len/shape error in the first jit trace (the reference's
+    network.py:78 analogue crashes mid-graph)."""
+    from roomnet_tpu.train.loop import Trainer
+
+    with pytest.raises(ValueError, match="img_side"):
+        Trainer(_tc(tmp_path, img_side=TINY.im_side + 8), TINY)
 
 
 def test_trainer_end_to_end_and_resume(data_dir):
