@@ -479,17 +479,29 @@ class ClassifierServer:
         with self._reload_lock:
             return self._reload_latest_locked()
 
+    def _open_store(self):
+        """The model_dir's checkpoint store: npz files win if present,
+        else the orbax directory layout — same auto-detection as
+        eval-ckpts, so /reload works on whichever backend the trainer
+        was configured with."""
+        import glob as _glob
+
+        from roomnet_tpu.params.checkpoint import CheckpointStore
+
+        if _glob.glob(os.path.join(self.model_dir, "roomnet--*--*.npz")):
+            return CheckpointStore(self.model_dir)
+        from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
+
+        return OrbaxCheckpointStore(self.model_dir, async_save=False)
+
     def _reload_latest_locked(self):
         from roomnet_tpu.params import schema
-        from roomnet_tpu.params.checkpoint import CheckpointStore
 
         try:
             # Inside the 409 guard: a truncated/corrupt file matching the
             # checkpoint pattern must answer "rejected, old weights kept",
             # not crash the handler with no HTTP status.
-            loaded = CheckpointStore(self.model_dir).load(
-                cfg=self.classifier.cfg
-            )
+            loaded = self._open_store().load(cfg=self.classifier.cfg)
         except Exception as exc:  # noqa: BLE001
             return 409, {"error": f"checkpoint rejected: {type(exc).__name__}: "
                                   f"{exc}"}
@@ -869,20 +881,19 @@ class ClassifierServer:
         return self
 
     def _auto_reload_loop(self):
-        from roomnet_tpu.params.checkpoint import CheckpointStore, CKPT_RE
         from roomnet_tpu.utils.logging import get_logger
 
         log = get_logger("server")
-        store = CheckpointStore(self.model_dir)
         last_rejected = None  # warn once per failing step, not per poll
         while not self._stop.wait(self.auto_reload_s):
-            path = store.latest_path()
-            if path is None:
+            # Store re-opened per poll: the FORMAT can change under us (an
+            # empty dir is 'orbax' until the first npz lands).
+            ckpts = self._open_store().list_checkpoints()
+            if not ckpts:
                 continue
-            m = CKPT_RE.search(os.path.basename(path))
-            step = int(m.group("step")) if m else None
+            step = ckpts[-1][0]
             current = self.model_version.get("step")
-            if step is None or (current is not None and step <= current):
+            if current is not None and step <= current:
                 continue
             code, payload = self._reload_latest()
             if code == 200:

@@ -959,6 +959,32 @@ def test_auto_reload_picks_up_new_checkpoints(tmp_path):
         srv.stop()
 
 
+def test_hot_reload_from_orbax_backend_dir(tmp_path):
+    """/reload auto-detects the dir's store format: a trainer configured
+    with ckpt_backend=orbax produces directories, not npz files — the
+    daemon must pick those up too (same detection as eval-ckpts)."""
+    from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(23), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    mdir = str(tmp_path / "models_orbax")
+    srv = ClassifierServer(clf, port=0, model_dir=mdir).start()
+    try:
+        body = _img_bytes(seed=9)
+        st, before = _post(srv, "/classify", body)
+        assert st == 200
+        OrbaxCheckpointStore(mdir, async_save=False).save(
+            init_variables(jax.random.PRNGKey(99), TINY), 12, suffix="0.8")
+        st, out = _post(srv, "/reload", b"")
+        assert st == 200 and out["step"] == 12, out
+        st, after = _post(srv, "/classify", body)
+        assert st == 200 and before["probs"] != after["probs"]
+    finally:
+        srv.stop()
+
+
 def test_hot_reload_during_live_traffic(tmp_path):
     """/reload racing a request burst: every request answers 200 (served
     by either the old or new weights — the swap is atomic per device
