@@ -700,6 +700,56 @@ def test_classify_batch_stream_device_error_mid_stream():
         srv.stop()
 
 
+def test_reference_client_against_live_server(tmp_path):
+    """tools/classify_client.py is the documented way to consume the API:
+    batch + streaming paths against a live daemon must agree, survive an
+    undecodable file per-row, and reuse one keep-alive connection."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.classify_client import Client, classify_paths
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(0), TINY), TINY,
+        batch_size=4, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0, warmup=False).start()
+    try:
+        d = tmp_path / "imgs"
+        d.mkdir()
+        paths = []
+        for i in range(5):
+            p = str(d / f"im_{i}.png")
+            with open(p, "wb") as f:
+                f.write(_img_bytes(seed=i))
+            paths.append(p)
+        bad = str(d / "corrupt.jpg")
+        with open(bad, "w") as f:
+            f.write("not an image")
+        paths.append(bad)
+        url = f"http://127.0.0.1:{srv.port}"
+        plain = classify_paths(url, paths, batch=4)
+        streamed = classify_paths(url, paths, stream=True, batch=4)
+        assert set(plain) == set(streamed) == set(paths)
+        for p in paths[:-1]:
+            assert plain[p]["label"] in LABELS4
+            assert streamed[p]["label"] == plain[p]["label"]
+        assert "error" in plain[bad] and "error" in streamed[bad]
+        # single-image API + keep-alive reuse across calls
+        cl = Client(url)
+        try:
+            r1 = cl.classify_bytes(open(paths[0], "rb").read())
+            r2 = cl.classify_bytes(open(paths[1], "rb").read())
+            assert r1["label"] == plain[paths[0]]["label"]
+            assert r2["label"] == plain[paths[1]]["label"]
+        finally:
+            cl.close()
+    finally:
+        srv.stop()
+
+
 def test_access_log_records_every_answered_request(tmp_path):
     """--access-log: one JSON line per answered request with method, path
     (query stripped), status, and a sane latency — across 200/400/404."""
