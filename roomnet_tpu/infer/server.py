@@ -96,7 +96,8 @@ class ClassifierServer:
                  model_dir: str | None = None,
                  max_body_bytes: int = 256 << 20,
                  auto_reload_s: float | None = None,
-                 access_log: str | None = None):
+                 access_log: str | None = None,
+                 idle_connection_s: float = 65.0):
         """model_dir: enables POST /reload — re-scan this checkpoint dir
         (resume-latest semantics, the trainer's output) and atomically
         swap the serving weights without a restart or recompile (the
@@ -124,6 +125,9 @@ class ClassifierServer:
         # path, status, ms}. For the streaming endpoint ms is
         # time-to-first-byte (the 200 head precedes the NDJSON body).
         self._access_log = EventLog(access_log)
+        # Idle keep-alive reap (handler socket timeout); also bounds a
+        # stalled mid-body client, hence > request_timeout_s by default.
+        self.idle_connection_s = idle_connection_s
         # The jitted _predict is compiled for exactly classifier.batch_size
         # rows; coalescing more jobs than that would overflow the device
         # batch, so clamp (a larger max_batch would otherwise IndexError in
@@ -574,9 +578,10 @@ class ClassifierServer:
             # because unread bytes would be misparsed as the next request.
             protocol_version = "HTTP/1.1"
             # Idle keep-alive connections pin a ThreadingHTTPServer thread
-            # each; drop them after a quiet minute (also bounds a stalled
-            # mid-body client, which is why it exceeds request_timeout_s).
-            timeout = 65
+            # each; drop them after idle_connection_s of quiet (stdlib
+            # closes the connection on the socket read timing out between
+            # requests — pinned by test_idle_keepalive_connection_reaped).
+            timeout = server_self.idle_connection_s
 
             def log_message(self, *a):  # quiet
                 pass

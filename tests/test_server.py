@@ -168,6 +168,43 @@ def test_keepalive_connection_reuse(server):
         conn.close()
 
 
+def test_idle_keepalive_connection_reaped(tmp_path):
+    """A keep-alive connection quiet past idle_connection_s is closed by
+    the server (it would otherwise pin a ThreadingHTTPServer thread
+    forever); an ACTIVE connection is not affected."""
+    import socket
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(0), TINY), TINY,
+        batch_size=4, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0, warmup=False,
+                           idle_connection_s=1.0).start()
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        # drain response #1 COMPLETELY (headers + body) — leftover bytes
+        # would masquerade as a reply to the post-idle request below
+        first = b""
+        s.settimeout(2)
+        while b'{"status": "ok"}' not in first:
+            first += s.recv(4096)
+        assert b"200" in first
+        time.sleep(2.0)  # > idle_connection_s with no traffic
+        # server closed its side: the next read yields EOF (or a reset)
+        s.settimeout(5)
+        try:
+            s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+            data = s.recv(4096)
+        except (ConnectionResetError, BrokenPipeError):
+            data = b""
+        assert data == b"", f"expected reaped connection, got {data[:60]!r}"
+        s.close()
+    finally:
+        srv.stop()
+
+
 def test_oversized_and_chunked_close_the_connection():
     """Paths that can't consume the body must not poison keep-alive: 413
     and 411 answer with Connection: close; the unread bytes die with the
