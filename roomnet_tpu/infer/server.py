@@ -891,9 +891,17 @@ class ClassifierServer:
         log = get_logger("server")
         last_rejected = None  # warn once per failing step, not per poll
         while not self._stop.wait(self.auto_reload_s):
-            # Store re-opened per poll: the FORMAT can change under us (an
-            # empty dir is 'orbax' until the first npz lands).
-            ckpts = self._open_store().list_checkpoints()
+            try:
+                # Store re-opened per poll: the FORMAT can change under us
+                # (an empty dir is 'orbax' until the first npz lands).
+                ckpts = self._open_store().list_checkpoints()
+            except Exception as exc:  # noqa: BLE001
+                # A transient poll failure (permissions blip, dir swapped
+                # out from under us) must not kill the thread: a dead
+                # poller silently serves stale weights forever.
+                log.warning("auto-reload: poll failed (%s: %s); retrying",
+                            type(exc).__name__, exc)
+                continue
             if not ckpts:
                 continue
             step = ckpts[-1][0]

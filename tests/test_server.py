@@ -1046,6 +1046,49 @@ def test_auto_reload_picks_up_new_checkpoints(tmp_path):
         srv.stop()
 
 
+def test_auto_reload_survives_poll_failure(tmp_path):
+    """A transient exception during a poll (permissions blip, dir race)
+    must not kill the auto-reload thread: later polls still pick up new
+    checkpoints. A dead poller would silently serve stale weights forever."""
+    import time
+
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(23), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    mdir = str(tmp_path / "models")
+    store = CheckpointStore(mdir)
+    srv = ClassifierServer(clf, port=0, model_dir=mdir, auto_reload_s=0.05)
+    real_open, fails = srv._open_store, {"n": 0}
+
+    def flaky_open():
+        if fails["n"] < 3:
+            fails["n"] += 1
+            raise OSError("transient poll failure")
+        return real_open()
+
+    srv._open_store = flaky_open
+    srv.start()
+    try:
+        store.save(init_variables(jax.random.PRNGKey(99), TINY), 7,
+                   suffix="0.9")
+        t_end = time.monotonic() + 10.0
+        while time.monotonic() < t_end:
+            with urllib.request.urlopen(_url(srv, "/version"), timeout=10) as r:
+                if json.loads(r.read())["step"] == 7:
+                    break
+            time.sleep(0.05)
+        else:
+            raise AssertionError(
+                "auto-reload thread died on a transient poll failure "
+                f"(saw {fails['n']} injected failures)")
+        assert fails["n"] == 3  # the injected failures actually fired
+    finally:
+        srv.stop()
+
+
 def test_hot_reload_from_orbax_backend_dir(tmp_path):
     """/reload auto-detects the dir's store format: a trainer configured
     with ckpt_backend=orbax produces directories, not npz files — the
