@@ -268,14 +268,21 @@ def cmd_label(args):
 
 
 def cmd_export(args):
-    from roomnet_tpu.params.export import export_tflite
+    if args.format == "saved-model" and args.quantize:
+        raise SystemExit("--quantize applies to TFLite only")
+    variables = _load_variables(args.params, getattr(args, "model_dir", None))
+    # Both formats are float32 serving artifacts: exact geometry, never
+    # the bf16 config.
+    cfg = _model_cfg(args.img_side, bf16=False)
+    if args.format == "saved-model":
+        from roomnet_tpu.params.export import export_saved_model
 
-    out = export_tflite(
-        _load_variables(args.params, getattr(args, "model_dir", None)), args.out,
-        # TFLite is float32: exact geometry, never the bf16 config.
-        cfg=_model_cfg(args.img_side, bf16=False),
-        quantize=args.quantize,
-    )
+        out = export_saved_model(variables, args.out, cfg=cfg)
+    else:
+        from roomnet_tpu.params.export import export_tflite
+
+        out = export_tflite(variables, args.out, cfg=cfg,
+                            quantize=args.quantize)
     print("exported:", out)
 
 
@@ -443,11 +450,18 @@ def build_parser() -> argparse.ArgumentParser:
     lb.add_argument("--no-resume", action="store_true")
     lb.set_defaults(fn=cmd_label)
 
-    e = sub.add_parser("export", help="export to TFLite (pure builtins, stock-interpreter loadable)")
+    e = sub.add_parser(
+        "export",
+        help="export to TFLite (pure builtins, stock-interpreter loadable) "
+             "or a TF SavedModel (TF-Serving containers)")
     e.add_argument("--params", default="artifacts/roomnet_params.npz")
     e.add_argument("--model-dir", default=None,
                    help="resume-latest from a training checkpoint dir")
     e.add_argument("--out", default="artifacts/roomnet.tflite")
+    e.add_argument("--format", choices=["tflite", "saved-model"],
+                   default="tflite",
+                   help="saved-model: polymorphic-batch SavedModel dir "
+                        "(forward+softmax+argmax) for TF-Serving")
     e.add_argument("--quantize", choices=["dynamic", "int8"], default=None,
                    help="quantized variant (mobile/README.md for measured "
                         "flip rates; dynamic is the shipped winner)")

@@ -24,6 +24,7 @@ def test_cli_parses_all_subcommands():
         ["label", "--in-dir", "/x"],
         ["serve", "--port", "0"],
         ["export", "--quantize", "dynamic"],
+        ["export", "--format", "saved-model", "--out", "/tmp/sm"],
         ["bench"],
         ["doctor"],
     ]:
