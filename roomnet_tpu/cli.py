@@ -304,7 +304,8 @@ def cmd_serve(args):
                      # hot-swaps to its newest checkpoint.
                      model_dir=args.model_dir,
                      auto_reload_s=args.auto_reload,
-                     access_log=args.access_log).serve_forever()
+                     access_log=args.access_log,
+                     drain_s=args.drain).serve_forever()
 
 
 def cmd_bench(args):
@@ -494,6 +495,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="poll --model-dir every S seconds and hot-swap when "
                         "a newer checkpoint lands (a live trainer's output "
                         "starts serving with no /reload call)")
+    s.add_argument("--drain", type=float, default=0.0, metavar="S",
+                   help="graceful-drain window on SIGTERM/Ctrl-C: /readyz "
+                        "goes 503, new classify work is shed with 503, and "
+                        "admitted requests get up to S seconds to finish "
+                        "before shutdown (0: immediate, queued jobs fail "
+                        "fast)")
     s.add_argument("--request-timeout", type=float, default=30.0,
                    help="per-request budget cap (s), stamped at admission; "
                         "clients may lower it per-request via the "

@@ -97,7 +97,8 @@ class ClassifierServer:
                  max_body_bytes: int = 256 << 20,
                  auto_reload_s: float | None = None,
                  access_log: str | None = None,
-                 idle_connection_s: float = 65.0):
+                 idle_connection_s: float = 65.0,
+                 drain_s: float = 0.0):
         """model_dir: enables POST /reload — re-scan this checkpoint dir
         (resume-latest semantics, the trainer's output) and atomically
         swap the serving weights without a restart or recompile (the
@@ -145,6 +146,14 @@ class ClassifierServer:
         # the backlog clears within a few device calls.
         self.max_inflight = max_inflight or 4 * self.max_batch
         self._admit = threading.Semaphore(self.max_inflight)
+        # Graceful drain (serve_forever): on SIGTERM/Ctrl-C flip /readyz to
+        # 503 and shed NEW classify work with 503+Connection:close, but let
+        # in-flight requests finish (up to drain_s) before stop() fails
+        # whatever remains — a k8s rollout answers everything it admitted.
+        self.drain_s = drain_s
+        self._draining = False
+        self._inflight = 0  # admitted image-slots currently held
+        self._inflight_lock = threading.Lock()
         # Bounded decode pool: cv2 decode is the CPU-heavy part of a
         # request; per-request handler threads would run all of them
         # concurrently under a burst.
@@ -370,7 +379,15 @@ class ClassifierServer:
             if not self._admit.acquire(blocking=False):
                 break
             acquired += 1
+        with self._inflight_lock:
+            self._inflight += acquired
         return deadline, acquired
+
+    def _release_slots(self, n: int):
+        with self._inflight_lock:
+            self._inflight -= n
+        for _ in range(n):
+            self._admit.release()
 
     def _run_job(self, bodies: list[bytes], budget_s: float | None = None):
         """Decode on the bounded pool, enqueue one job, wait for results.
@@ -413,8 +430,7 @@ class ClassifierServer:
                 job.event.set()  # nothing decodable: no device work
             return job, images
         finally:
-            for _ in range(acquired):
-                self._admit.release()
+            self._release_slots(acquired)
 
     def _run_stream(self, bodies: list[bytes], budget_s: float | None,
                     emit) -> str | None:
@@ -466,8 +482,7 @@ class ClassifierServer:
             for job in jobs:
                 if not job.event.is_set():
                     job.abandoned = True
-            for _ in range(acquired):
-                self._admit.release()
+            self._release_slots(acquired)
 
     def _reload_latest(self):
         """Load the max-step checkpoint from model_dir and swap it in.
@@ -644,7 +659,9 @@ class ClassifierServer:
                     # dying in the queue.
                     worker = (server_self._threads[0]
                               if server_self._threads else None)
-                    if (not server_self._stop.is_set()
+                    if server_self._draining:
+                        self._send(503, {"status": "draining"})
+                    elif (not server_self._stop.is_set()
                             and worker is not None and worker.is_alive()):
                         self._send(200, {"status": "ready"})
                     else:
@@ -668,7 +685,14 @@ class ClassifierServer:
 
                 self._t0 = _time.monotonic()
                 path, _, query = self.path.partition("?")
-                if path == "/classify":
+                if path in ("/classify", "/classify_batch") \
+                        and server_self._draining:
+                    # Shed BEFORE reading the body (it may be huge and this
+                    # request is doomed); the unread bytes force a close.
+                    self._send(503, {"error": "server draining"},
+                               headers=(("Connection", "close"),
+                                        ("Retry-After", "1")))
+                elif path == "/classify":
                     self._classify_single()
                 elif path == "/classify_batch":
                     self._classify_batch(stream="stream=1" in query.split("&"))
@@ -917,6 +941,28 @@ class ClassifierServer:
                 log.warning("auto-reload: step %s rejected (%s); keeping "
                             "step %s", step, payload.get("error"), current)
 
+    def begin_drain(self):
+        """Start refusing NEW classify work (503 + Connection: close;
+        /readyz goes 503 so an LB stops routing) while the worker keeps
+        answering everything already admitted. Health/metrics endpoints
+        stay up throughout."""
+        self._draining = True
+
+    def wait_drained(self, timeout_s: float) -> bool:
+        """Block until every admitted request has been answered (admission
+        slots all released and the job queue empty), or timeout_s. Returns
+        True when fully drained."""
+        import time as _time
+
+        t_end = _time.monotonic() + timeout_s
+        while _time.monotonic() < t_end:
+            with self._inflight_lock:
+                n = self._inflight
+            if n == 0 and self._jobs.empty():
+                return True
+            _time.sleep(0.02)
+        return False
+
     def stop(self):
         self._stop.set()
         if self._httpd:
@@ -943,9 +989,12 @@ class ClassifierServer:
 
     def serve_forever(self):
         """Run until interrupted. SIGTERM (systemd/k8s stop) gets the same
-        clean shutdown as Ctrl-C: stop() fails queued requests fast instead
-        of the process dying mid-handler with client-visible resets —
-        mirroring the trainer's preemption handling (train/loop.py)."""
+        clean shutdown as Ctrl-C: with drain_s > 0 the server first drains —
+        /readyz flips to 503 so the LB stops routing, new classify work is
+        shed with 503, and every admitted request gets its answer (up to
+        drain_s) — then stop() fails whatever remains fast instead of the
+        process dying mid-handler with client-visible resets — mirroring
+        the trainer's preemption handling (train/loop.py)."""
         import signal
         import threading as _threading
 
@@ -964,6 +1013,9 @@ class ClassifierServer:
         except KeyboardInterrupt:
             pass
         finally:
+            if self.drain_s > 0:
+                self.begin_drain()
+                self.wait_drained(self.drain_s)
             self.stop()
             if prev is not None:
                 signal.signal(signal.SIGTERM, prev)

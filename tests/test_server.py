@@ -1046,6 +1046,61 @@ def test_auto_reload_picks_up_new_checkpoints(tmp_path):
         srv.stop()
 
 
+def test_graceful_drain_finishes_inflight_and_sheds_new():
+    """begin_drain: /readyz flips to 503 (LB stops routing) and new
+    classify work is shed with 503, but a request already admitted still
+    gets its 200 — wait_drained returns True once it has (the serve_forever
+    SIGTERM path with drain_s > 0)."""
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(6), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    real = clf._predict
+    real(clf.variables, np.zeros((2, TINY.im_side, TINY.im_side, 3), np.uint8))
+    release = threading.Event()
+
+    def gated(variables, batch):
+        release.wait(timeout=30)
+        return real(variables, batch)
+
+    clf._predict = gated
+    srv = ClassifierServer(clf, port=0, request_timeout_s=30.0).start()
+    try:
+        inflight_out = {}
+
+        def inflight_client():
+            inflight_out["resp"] = _post(srv, "/classify", _img_bytes())
+
+        t = threading.Thread(target=inflight_client)
+        t.start()
+        deadline = time.monotonic() + 10
+        while srv._inflight == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv._inflight == 1  # the request is admitted and in flight
+
+        srv.begin_drain()
+        st, out = _post(srv, "/classify", _img_bytes())
+        assert st == 503 and "draining" in out["error"]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(_url(srv, "/readyz"), timeout=10)
+        assert e.value.code == 503
+        assert json.loads(e.value.read())["status"] == "draining"
+        with urllib.request.urlopen(_url(srv, "/healthz"), timeout=10) as r:
+            assert r.status == 200  # liveness stays up during drain
+
+        assert not srv.wait_drained(0.3)  # still holding the gated request
+        release.set()
+        assert srv.wait_drained(10.0), "in-flight request never finished"
+        t.join(timeout=10)
+        st, out = inflight_out["resp"]
+        assert st == 200 and out["label"] in LABELS4
+    finally:
+        release.set()
+        srv.stop()
+
+
 def test_auto_reload_survives_poll_failure(tmp_path):
     """A transient exception during a poll (permissions blip, dir race)
     must not kill the auto-reload thread: later polls still pick up new
