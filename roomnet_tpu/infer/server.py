@@ -659,11 +659,15 @@ class ClassifierServer:
                     # dying in the queue.
                     worker = (server_self._threads[0]
                               if server_self._threads else None)
+                    with server_self._inflight_lock:
+                        inflight = server_self._inflight
                     if server_self._draining:
-                        self._send(503, {"status": "draining"})
+                        self._send(503, {"status": "draining",
+                                         "inflight": inflight})
                     elif (not server_self._stop.is_set()
                             and worker is not None and worker.is_alive()):
-                        self._send(200, {"status": "ready"})
+                        self._send(200, {"status": "ready",
+                                         "inflight": inflight})
                     else:
                         self._send(503, {
                             "status": "not ready",

@@ -1086,7 +1086,9 @@ def test_graceful_drain_finishes_inflight_and_sheds_new():
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(_url(srv, "/readyz"), timeout=10)
         assert e.value.code == 503
-        assert json.loads(e.value.read())["status"] == "draining"
+        payload = json.loads(e.value.read())
+        assert payload["status"] == "draining"
+        assert payload["inflight"] == 1  # the gated request still holds its slot
         with urllib.request.urlopen(_url(srv, "/healthz"), timeout=10) as r:
             assert r.status == 200  # liveness stays up during drain
 
