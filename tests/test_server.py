@@ -787,6 +787,43 @@ def test_reference_client_against_live_server(tmp_path):
         srv.stop()
 
 
+def test_reference_client_budget_propagates_as_504(tmp_path):
+    """Client(budget_s=...) sends X-Timeout-Seconds: against a device too
+    slow for the budget the server answers a clean 504 within ~budget_s of
+    admission, which the client surfaces as RuntimeError — not a socket
+    timeout mid-response."""
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.classify_client import Client
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(0), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    real = clf._predict
+    real(clf.variables, np.zeros((2, TINY.im_side, TINY.im_side, 3), np.uint8))
+
+    def slow(variables, batch):
+        time.sleep(1.5)
+        return real(variables, batch)
+
+    clf._predict = slow
+    srv = ClassifierServer(clf, port=0, request_timeout_s=30.0).start()
+    cl = Client(f"http://127.0.0.1:{srv.port}", budget_s=0.3)
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(RuntimeError, match="504"):
+            cl.classify_bytes(_img_bytes())
+        assert time.monotonic() - t0 < 5.0  # budget, not the 30 s server cap
+    finally:
+        cl.close()
+        srv.stop()
+
+
 def test_access_log_records_every_answered_request(tmp_path):
     """--access-log: one JSON line per answered request with method, path
     (query stripped), status, and a sane latency — across 200/400/404."""

@@ -31,12 +31,19 @@ class Client:
     """
 
     def __init__(self, server: str, *, timeout_s: float = 60.0,
-                 max_retries: int = 8):
+                 max_retries: int = 8, budget_s: float | None = None):
+        """budget_s: per-request timeout budget, propagated to the daemon
+        via X-Timeout-Seconds (the server clamps it to its own cap and
+        answers 200-or-504 within ~budget_s of ADMISSION — decode and
+        queue time spend it). Lets a latency-sensitive caller get its
+        timeout from the server as a clean 504 instead of a socket
+        timeout mid-response."""
         u = urlparse(server)
         self.host = u.hostname or "127.0.0.1"
         self.port = u.port or 80
         self.timeout_s = timeout_s
         self.max_retries = max_retries
+        self.budget_s = budget_s
         self._conn: http.client.HTTPConnection | None = None
 
     def _connection(self) -> http.client.HTTPConnection:
@@ -50,6 +57,11 @@ class Client:
             self._conn.close()
             self._conn = None
 
+    def _headers(self) -> dict:
+        if self.budget_s is None:
+            return {}
+        return {"X-Timeout-Seconds": str(self.budget_s)}
+
     def _request(self, method: str, path: str, body: bytes | None = None):
         """One request with keep-alive reuse, reconnect-on-stale, and 429
         backoff. Returns (status, headers, body_bytes)."""
@@ -57,7 +69,8 @@ class Client:
         while True:
             try:
                 conn = self._connection()
-                conn.request(method, path, body=body)
+                conn.request(method, path, body=body,
+                             headers=self._headers())
                 r = conn.getresponse()
                 data = r.read()
             except (ConnectionError, http.client.HTTPException, OSError):
@@ -66,7 +79,8 @@ class Client:
                 # application error: reconnect once per request.
                 self.close()
                 conn = self._connection()
-                conn.request(method, path, body=body)
+                conn.request(method, path, body=body,
+                             headers=self._headers())
                 r = conn.getresponse()
                 data = r.read()
             if r.status == 429 and retries < self.max_retries:
@@ -105,7 +119,8 @@ class Client:
         while True:
             self.close()  # stream endpoint closes; use a fresh connection
             conn = self._connection()
-            conn.request("POST", "/classify_batch?stream=1", body=payload)
+            conn.request("POST", "/classify_batch?stream=1", body=payload,
+                         headers=self._headers())
             r = conn.getresponse()
             if r.status == 429 and retries < self.max_retries:
                 r.read()
@@ -133,10 +148,11 @@ class Client:
 
 
 def classify_paths(server: str, paths: list[str], *, stream: bool = False,
-                   batch: int = 64) -> dict[str, dict]:
+                   batch: int = 64,
+                   budget_s: float | None = None) -> dict[str, dict]:
     """Classify image files through a running daemon; {path: result}."""
     out: dict[str, dict] = {}
-    cl = Client(server)
+    cl = Client(server, budget_s=budget_s)
     try:
         for at in range(0, len(paths), batch):
             chunk = paths[at: at + batch]
@@ -159,6 +175,10 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--stream", action="store_true",
                     help="consume the NDJSON streaming endpoint")
+    ap.add_argument("--budget", type=float, default=None, metavar="S",
+                    help="per-request timeout budget propagated via "
+                         "X-Timeout-Seconds (server answers 200-or-504 "
+                         "within ~S of admission)")
     args = ap.parse_args(argv)
     paths = sorted(
         p for p in glob.glob(os.path.join(args.images_dir, "*"))
@@ -168,7 +188,7 @@ def main(argv=None) -> int:
         print(f"no files in {args.images_dir}", file=sys.stderr)
         return 1
     results = classify_paths(args.server, paths, stream=args.stream,
-                             batch=args.batch)
+                             batch=args.batch, budget_s=args.budget)
     for p in paths:
         r = results.get(p, {"error": "no result"})
         if "label" in r:
