@@ -89,13 +89,24 @@ def cmd_train(args):
     Trainer(tc, cfg, mesh=mesh).train()
 
 
+def _maybe_mesh(args):
+    """--data-parallel: an all-devices DP mesh; batch dims shard over
+    'data' (SURVEY §2.4 — sharded directory inference / serving)."""
+    if not getattr(args, "data_parallel", False):
+        return None
+    from roomnet_tpu.parallel.mesh import make_mesh
+
+    return make_mesh()
+
+
 def cmd_infer(args):
     from roomnet_tpu.infer.classify import RoomNetClassifier, classify_im_dir
 
     cfg = _model_cfg(args.img_side, bf16=not args.exact)
     clf = RoomNetClassifier(
         _load_variables(args.params, args.model_dir), cfg,
-        batch_size=args.batch_size, fast_decode=args.fast_decode,
+        batch_size=args.batch_size, mesh=_maybe_mesh(args),
+        fast_decode=args.fast_decode,
         device_resize_side=args.device_resize_side,
     )
     xl = classify_im_dir(clf, args.images_dir, overlay=not args.no_overlay)
@@ -107,7 +118,8 @@ def cmd_validate(args):
 
     cfg = _model_cfg(args.img_side, bf16=not args.exact)
     clf = RoomNetClassifier(
-        _load_variables(args.params, args.model_dir), cfg, batch_size=args.batch_size
+        _load_variables(args.params, args.model_dir), cfg,
+        batch_size=args.batch_size, mesh=_maybe_mesh(args),
     )
     stats = groundtruth_validation(clf, args.list_file)
     print(json.dumps(stats, indent=2))
@@ -120,6 +132,7 @@ def cmd_eval_ckpts(args):
         args.model_dir, args.list_file,
         _model_cfg(args.img_side, bf16=not args.exact),
         batch_size=args.batch_size, backend=args.ckpt_backend,
+        mesh=_maybe_mesh(args),
     )
     if args.out:
         with open(args.out, "w") as f:
@@ -292,7 +305,8 @@ def cmd_serve(args):
 
     cfg = _model_cfg(args.img_side, bf16=not args.exact)
     clf = RoomNetClassifier(
-        _load_variables(args.params, args.model_dir), cfg, batch_size=args.batch_size
+        _load_variables(args.params, args.model_dir), cfg,
+        batch_size=args.batch_size, mesh=_maybe_mesh(args),
     )
     print(f"serving on http://{args.host}:{args.port}  "
           f"(POST /classify, /classify_batch)")
@@ -385,6 +399,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DCT-scaled JPEG decode (needs csrc/; >=2x "
                         "supersampling enforced — PERF.md for measured "
                         "flip rates on large sources)")
+    i.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over an all-devices 'data' mesh "
+                        "(multi-chip hosts; batch size must divide by the "
+                        "device count)")
     i.set_defaults(fn=cmd_infer)
 
     v = sub.add_parser("validate", help="score a labeled list file")
@@ -398,6 +416,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--img-side", type=int, default=224,
                    help="model input geometry; must match the loaded "
                         "weights' dense head (README.md:32 variants)")
+    v.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over an all-devices 'data' mesh "
+                        "(multi-chip hosts; batch size must divide by the "
+                        "device count)")
     v.set_defaults(fn=cmd_validate)
 
     ev = sub.add_parser(
@@ -419,6 +441,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(auto: npz files win if present)")
     ev.add_argument("--plot", default=None, metavar="PNG",
                     help="also render measured-vs-filename accuracy by step")
+    ev.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over an all-devices 'data' mesh "
+                        "(multi-chip hosts; batch size must divide by the "
+                        "device count)")
     ev.set_defaults(fn=cmd_eval_ckpts)
 
     c = sub.add_parser("convert", help="TF checkpoint -> native params")
@@ -505,6 +531,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-request budget cap (s), stamped at admission; "
                         "clients may lower it per-request via the "
                         "X-Timeout-Seconds header")
+    s.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over an all-devices 'data' mesh "
+                        "(multi-chip hosts; batch size must divide by the "
+                        "device count)")
     s.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("doctor", help="environment diagnostics (PASS/WARN/FAIL)")

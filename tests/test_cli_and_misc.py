@@ -23,6 +23,11 @@ def test_cli_parses_all_subcommands():
         ["plot-checkpoints", "--model-dir", "/m"],
         ["label", "--in-dir", "/x"],
         ["serve", "--port", "0"],
+        ["serve", "--data-parallel", "--drain", "10"],
+        ["infer", "--images-dir", "/x", "--data-parallel"],
+        ["validate", "--list-file", "/x", "--data-parallel"],
+        ["eval-ckpts", "--model-dir", "/m", "--list-file", "/x",
+         "--data-parallel"],
         ["export", "--quantize", "dynamic"],
         ["export", "--format", "saved-model", "--out", "/tmp/sm"],
         ["bench"],
