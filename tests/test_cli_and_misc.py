@@ -37,6 +37,50 @@ def test_cli_parses_all_subcommands():
         assert callable(args.fn)
 
 
+def test_every_args_attribute_each_handler_reads_is_parsed():
+    """Every `args.X` a cmd_* handler reads must exist on its subcommand's
+    parsed namespace — the add-a-flag-to-the-handler-but-not-the-parser
+    bug class, caught statically for ALL subcommands at once (the
+    handlers otherwise only fail at runtime, on a device-facing path)."""
+    import ast
+    import inspect
+
+    from roomnet_tpu import cli
+
+    sub_cmds = {
+        "train": ["train", "--data-dir", "/x"],
+        "infer": ["infer", "--images-dir", "/x"],
+        "validate": ["validate", "--list-file", "/x"],
+        "eval-ckpts": ["eval-ckpts", "--model-dir", "/m", "--list-file", "/x"],
+        "convert": ["convert"],
+        "convert-to-tf": ["convert-to-tf"],
+        "plot": ["plot"],
+        "plot-checkpoints": ["plot-checkpoints", "--model-dir", "/m"],
+        "label": ["label", "--in-dir", "/x"],
+        "export": ["export"],
+        "serve": ["serve"],
+        "bench": ["bench"],
+        "doctor": ["doctor"],
+    }
+    p = build_parser()
+    checked = 0
+    for name, argv in sub_cmds.items():
+        ns = p.parse_args(argv)
+        tree = ast.parse(inspect.getsource(ns.fn))
+        reads = {
+            node.attr
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Attribute)
+            and isinstance(node.value, ast.Name) and node.value.id == "args"
+        }
+        # getattr(args, "x", default) reads are optional by construction
+        missing = [a for a in reads if not hasattr(ns, a)]
+        assert not missing, f"{name}: handler reads args.{missing} " \
+                            f"but the parser never defines them"
+        checked += len(reads)
+    assert checked > 40  # the walk actually saw the handlers' reads
+
+
 def test_doctor_reports_and_exits_clean(capsys):
     from roomnet_tpu.cli import cmd_doctor
 
