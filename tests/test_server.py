@@ -1140,6 +1140,54 @@ def test_graceful_drain_finishes_inflight_and_sheds_new():
         srv.stop()
 
 
+def test_drain_lets_admitted_stream_finish():
+    """begin_drain while a streaming batch is mid-flight: the stream was
+    ADMITTED, so all its remaining chunks must still be answered (drain
+    only sheds NEW work); wait_drained completes once the stream does."""
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(8), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    real = clf._predict
+    real(clf.variables, np.zeros((2, TINY.im_side, TINY.im_side, 3), np.uint8))
+
+    def slow(variables, batch):
+        # Slow but non-blocking-dispatch: the depth-2 worker finalizes
+        # chunk N only after chunk N+1 DISPATCHES, so a stub that blocks
+        # inside dispatch would stall the whole stream (production device
+        # calls are async — dispatch returns immediately).
+        time.sleep(0.5)
+        return real(variables, batch)
+
+    clf._predict = slow
+    srv = ClassifierServer(clf, port=0, request_timeout_s=30.0).start()
+    try:
+        import base64 as b64
+        import http.client
+
+        bodies = [_img_bytes(seed=i) for i in range(8)]  # 4 chunks of 2
+        payload = json.dumps(
+            {"images": [b64.b64encode(b).decode() for b in bodies]}).encode()
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request("POST", "/classify_batch?stream=1", body=payload)
+        r = conn.getresponse()
+        assert r.status == 200
+        first = r.readline()  # first chunk answered -> stream is mid-flight
+        assert json.loads(first)["index"] == 0
+        srv.begin_drain()  # ~1 s in; chunks 3-4 are still queued/in flight
+        lines = [first] + [ln for ln in r.read().splitlines() if ln.strip()]
+        assert len(lines) == 8, lines
+        for ln in lines:
+            rec = json.loads(ln)
+            assert rec.get("label") in LABELS4, rec
+        conn.close()
+        assert srv.wait_drained(10.0)
+    finally:
+        srv.stop()
+
+
 def test_auto_reload_survives_poll_failure(tmp_path):
     """A transient exception during a poll (permissions blip, dir race)
     must not kill the auto-reload thread: later polls still pick up new
