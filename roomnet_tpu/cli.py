@@ -96,7 +96,19 @@ def _maybe_mesh(args):
         return None
     from roomnet_tpu.parallel.mesh import make_mesh
 
-    return make_mesh()
+    mesh = make_mesh()
+    n_data = int(mesh.shape["data"])
+    batch = getattr(args, "batch_size", None)
+    if batch is not None and batch % n_data:
+        # Checked HERE, before anything binds or compiles: P('data')
+        # sharding needs divisibility, and the failure otherwise surfaces
+        # as a per-request 503 device_error (serve) or an opaque jit
+        # sharding error minutes in.
+        raise SystemExit(
+            f"--data-parallel: --batch-size {batch} is not divisible by "
+            f"the {n_data}-device 'data' mesh — use a multiple of {n_data}"
+        )
+    return mesh
 
 
 def cmd_infer(args):
@@ -283,6 +295,13 @@ def cmd_label(args):
 def cmd_export(args):
     if args.format == "saved-model" and args.quantize:
         raise SystemExit("--quantize applies to TFLite only")
+    # Default --out is per-format: a SavedModel is a DIRECTORY tree, and
+    # writing it to the tflite default would produce roomnet.tflite/ —
+    # a dir with a flatbuffer extension that downstream tooling mis-reads.
+    out_path = args.out or (
+        "artifacts/roomnet_saved_model" if args.format == "saved-model"
+        else "artifacts/roomnet.tflite"
+    )
     variables = _load_variables(args.params, getattr(args, "model_dir", None))
     # Both formats are float32 serving artifacts: exact geometry, never
     # the bf16 config.
@@ -290,11 +309,11 @@ def cmd_export(args):
     if args.format == "saved-model":
         from roomnet_tpu.params.export import export_saved_model
 
-        out = export_saved_model(variables, args.out, cfg=cfg)
+        out = export_saved_model(variables, out_path, cfg=cfg)
     else:
         from roomnet_tpu.params.export import export_tflite
 
-        out = export_tflite(variables, args.out, cfg=cfg,
+        out = export_tflite(variables, out_path, cfg=cfg,
                             quantize=args.quantize)
     print("exported:", out)
 
@@ -484,7 +503,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--params", default="artifacts/roomnet_params.npz")
     e.add_argument("--model-dir", default=None,
                    help="resume-latest from a training checkpoint dir")
-    e.add_argument("--out", default="artifacts/roomnet.tflite")
+    e.add_argument("--out", default=None,
+                   help="output path (default: artifacts/roomnet.tflite, "
+                        "or artifacts/roomnet_saved_model for saved-model)")
     e.add_argument("--format", choices=["tflite", "saved-model"],
                    default="tflite",
                    help="saved-model: polymorphic-batch SavedModel dir "

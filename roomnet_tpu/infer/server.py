@@ -153,6 +153,13 @@ class ClassifierServer:
         self.drain_s = drain_s
         self._draining = False
         self._inflight = 0  # admitted image-slots currently held
+        # Classify handlers currently executing, counted from do_POST entry
+        # to the response being fully written. Slot accounting alone is not
+        # drain-safe: slots release when _run_job returns, BEFORE the
+        # response is written (a slow client could hold the write for
+        # seconds), and a request still reading its body or decoding has
+        # not taken slots yet — wait_drained must see both.
+        self._active_requests = 0
         self._inflight_lock = threading.Lock()
         # Bounded decode pool: cv2 decode is the CPU-heavy part of a
         # request; per-request handler threads would run all of them
@@ -689,17 +696,30 @@ class ClassifierServer:
 
                 self._t0 = _time.monotonic()
                 path, _, query = self.path.partition("?")
-                if path in ("/classify", "/classify_batch") \
-                        and server_self._draining:
-                    # Shed BEFORE reading the body (it may be huge and this
-                    # request is doomed); the unread bytes force a close.
-                    self._send(503, {"error": "server draining"},
-                               headers=(("Connection", "close"),
-                                        ("Retry-After", "1")))
-                elif path == "/classify":
-                    self._classify_single()
-                elif path == "/classify_batch":
-                    self._classify_batch(stream="stream=1" in query.split("&"))
+                if path in ("/classify", "/classify_batch"):
+                    # Counted from HERE through the response write: a
+                    # request still reading its body, decoding, or writing
+                    # a large response to a slow client must hold the
+                    # drain open (slot accounting alone releases too
+                    # early — at _run_job return, before the write).
+                    with server_self._inflight_lock:
+                        server_self._active_requests += 1
+                    try:
+                        if server_self._draining:
+                            # Shed BEFORE reading the body (it may be huge
+                            # and this request is doomed); the unread
+                            # bytes force a close.
+                            self._send(503, {"error": "server draining"},
+                                       headers=(("Connection", "close"),
+                                                ("Retry-After", "1")))
+                        elif path == "/classify":
+                            self._classify_single()
+                        else:
+                            self._classify_batch(
+                                stream="stream=1" in query.split("&"))
+                    finally:
+                        with server_self._inflight_lock:
+                            server_self._active_requests -= 1
                 elif path == "/reload":
                     self._drain_small_body()
                     code, payload = server_self._reload_latest()
@@ -918,6 +938,7 @@ class ClassifierServer:
 
         log = get_logger("server")
         last_rejected = None  # warn once per failing step, not per poll
+        last_poll_error = None  # warn once per distinct failure, not per poll
         while not self._stop.wait(self.auto_reload_s):
             try:
                 # Store re-opened per poll: the FORMAT can change under us
@@ -926,10 +947,16 @@ class ClassifierServer:
             except Exception as exc:  # noqa: BLE001
                 # A transient poll failure (permissions blip, dir swapped
                 # out from under us) must not kill the thread: a dead
-                # poller silently serves stale weights forever.
-                log.warning("auto-reload: poll failed (%s: %s); retrying",
-                            type(exc).__name__, exc)
+                # poller silently serves stale weights forever. Warned once
+                # per distinct error — a PERSISTENT failure at a sub-second
+                # poll interval would otherwise flood the log.
+                err = f"{type(exc).__name__}: {exc}"
+                if err != last_poll_error:
+                    last_poll_error = err
+                    log.warning("auto-reload: poll failed (%s); retrying "
+                                "(logged once until it changes)", err)
                 continue
+            last_poll_error = None
             if not ckpts:
                 continue
             step = ckpts[-1][0]
@@ -953,15 +980,16 @@ class ClassifierServer:
         self._draining = True
 
     def wait_drained(self, timeout_s: float) -> bool:
-        """Block until every admitted request has been answered (admission
-        slots all released and the job queue empty), or timeout_s. Returns
-        True when fully drained."""
+        """Block until every in-flight classify request has been fully
+        ANSWERED — no active handlers (counted from do_POST entry through
+        the response write), no held admission slots, empty job queue — or
+        timeout_s. Returns True when fully drained."""
         import time as _time
 
         t_end = _time.monotonic() + timeout_s
         while _time.monotonic() < t_end:
             with self._inflight_lock:
-                n = self._inflight
+                n = self._inflight + self._active_requests
             if n == 0 and self._jobs.empty():
                 return True
             _time.sleep(0.02)
@@ -1017,9 +1045,13 @@ class ClassifierServer:
         except KeyboardInterrupt:
             pass
         finally:
-            if self.drain_s > 0:
-                self.begin_drain()
-                self.wait_drained(self.drain_s)
-            self.stop()
-            if prev is not None:
-                signal.signal(signal.SIGTERM, prev)
+            try:
+                if self.drain_s > 0:
+                    self.begin_drain()
+                    self.wait_drained(self.drain_s)
+            except KeyboardInterrupt:
+                pass  # second signal during the drain: skip straight to stop
+            finally:
+                self.stop()
+                if prev is not None:
+                    signal.signal(signal.SIGTERM, prev)

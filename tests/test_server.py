@@ -1188,6 +1188,76 @@ def test_drain_lets_admitted_stream_finish():
         srv.stop()
 
 
+def test_drain_waits_for_request_still_reading_its_body():
+    """A classify request whose body is still arriving has taken no
+    admission slots yet — wait_drained must count it anyway (handler-level
+    accounting from do_POST entry), or stop() kills it mid-read despite
+    the grace window."""
+    import socket
+    import time
+
+    clf = RoomNetClassifier(
+        init_variables(jax.random.PRNGKey(9), TINY), TINY,
+        batch_size=2, class_labels=LABELS4,
+    )
+    srv = ClassifierServer(clf, port=0).start()
+    try:
+        body = _img_bytes()
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        sock.sendall(
+            b"POST /classify HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body))
+        sock.sendall(body[:10])  # dribble: the handler is mid rfile.read
+        deadline = time.monotonic() + 10
+        while srv._active_requests == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv._active_requests == 1
+        srv.begin_drain()
+        assert not srv.wait_drained(0.3), \
+            "drained while a request body was still arriving"
+        sock.sendall(body[10:])  # finish the body
+        assert srv.wait_drained(10.0)
+        resp = sock.recv(65536).decode()
+        assert resp.startswith("HTTP/1.1 200"), resp[:100]
+        sock.close()
+    finally:
+        srv.stop()
+
+
+def test_data_parallel_cli_rejects_indivisible_batch():
+    """--data-parallel with a batch size the device count can't divide must
+    fail at the CLI with a clear message, not as per-request 503s or an
+    opaque jit sharding error (P('data') requires divisibility)."""
+    import argparse
+
+    from roomnet_tpu.cli import _maybe_mesh
+
+    ns = argparse.Namespace(data_parallel=True, batch_size=6)  # 8 devices
+    with pytest.raises(SystemExit, match="not divisible"):
+        _maybe_mesh(ns)
+    ns.batch_size = 16
+    assert _maybe_mesh(ns) is not None
+
+
+def test_export_saved_model_default_out_is_not_tflite(monkeypatch):
+    """export --format saved-model with no --out must not write a
+    SavedModel DIRECTORY to the tflite default path (roomnet.tflite/)."""
+    import argparse
+
+    from roomnet_tpu import cli
+    from roomnet_tpu.params import export as export_mod
+
+    captured = {}
+    monkeypatch.setattr(
+        export_mod, "export_saved_model",
+        lambda variables, out, cfg=None: captured.update(out=out) or out)
+    ns = argparse.Namespace(format="saved-model", quantize=None,
+                            params="artifacts/roomnet_params.npz",
+                            model_dir=None, img_side=224, out=None)
+    cli.cmd_export(ns)
+    assert captured["out"] == "artifacts/roomnet_saved_model"
+
+
 def test_auto_reload_survives_poll_failure(tmp_path):
     """A transient exception during a poll (permissions blip, dir race)
     must not kill the auto-reload thread: later polls still pick up new
@@ -1212,6 +1282,16 @@ def test_auto_reload_survives_poll_failure(tmp_path):
         return real_open()
 
     srv._open_store = flaky_open
+    import logging
+
+    records = []
+
+    class _Collect(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    collector = _Collect()
+    logging.getLogger("roomnet_tpu.server").addHandler(collector)
     srv.start()
     try:
         store.save(init_variables(jax.random.PRNGKey(99), TINY), 7,
@@ -1227,7 +1307,12 @@ def test_auto_reload_survives_poll_failure(tmp_path):
                 "auto-reload thread died on a transient poll failure "
                 f"(saw {fails['n']} injected failures)")
         assert fails["n"] == 3  # the injected failures actually fired
+        # Identical repeated failures warn ONCE (a persistent failure at a
+        # sub-second poll interval must not flood the log).
+        polls = [m for m in records if "poll failed" in m]
+        assert len(polls) == 1, polls
     finally:
+        logging.getLogger("roomnet_tpu.server").removeHandler(collector)
         srv.stop()
 
 
