@@ -327,6 +327,12 @@ def cmd_serve(args):
         _load_variables(args.params, args.model_dir), cfg,
         batch_size=args.batch_size, mesh=_maybe_mesh(args),
     )
+    if args.profile_port:
+        from roomnet_tpu.utils.profiling import start_server
+
+        start_server(args.profile_port)
+        print(f"jax profiler server on :{args.profile_port} "
+              f"(capture with XProf/TensorBoard)")
     print(f"serving on http://{args.host}:{args.port}  "
           f"(POST /classify, /classify_batch)")
     ClassifierServer(clf, host=args.host, port=args.port,
@@ -542,6 +548,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="poll --model-dir every S seconds and hot-swap when "
                         "a newer checkpoint lands (a live trainer's output "
                         "starts serving with no /reload call)")
+    s.add_argument("--profile-port", type=int, default=None,
+                   help="start the jax profiler gRPC server on this port "
+                        "for on-demand XProf/TensorBoard trace capture of "
+                        "the live daemon")
     s.add_argument("--drain", type=float, default=0.0, metavar="S",
                    help="graceful-drain window on SIGTERM/Ctrl-C: /readyz "
                         "goes 503, new classify work is shed with 503, and "
