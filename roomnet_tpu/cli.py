@@ -64,6 +64,7 @@ def cmd_train(args):
         data_dir=args.data_dir,
         train_steps=args.steps,
         save_freq=args.save_freq,
+        keep_checkpoints=args.keep_checkpoints,
         learn_rate=args.learn_rate,
         l2_coeff=args.l2,
         model_dir=args.model_dir,
@@ -366,6 +367,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--data-dir", default="./data/REI-Dataset")
     t.add_argument("--steps", type=int, default=100_000)
     t.add_argument("--save-freq", type=int, default=10)
+    t.add_argument("--keep-checkpoints", type=int, default=None, metavar="N",
+                   help="opt-in retention: keep only the newest N regular "
+                        "checkpoints (+ the best-accuracy one + all "
+                        "interrupt/stall markers); default keep-all, the "
+                        "reference contract")
     t.add_argument("--learn-rate", type=float, default=2e-4)
     t.add_argument("--l2", type=float, default=6e-2)
     t.add_argument("--model-dir", default="all_trained_models/trained_models")

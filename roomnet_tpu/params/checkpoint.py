@@ -96,6 +96,41 @@ class CheckpointStore:
         out.sort(key=lambda t: (t[0], t[2]))
         return out
 
+    def prune(self, keep_last: int, *, keep_best: bool = True) -> list[str]:
+        """OPT-IN retention: delete all but the newest `keep_last` REGULAR
+        checkpoints. Keep-all stays the default everywhere (the reference
+        contract, network.py:80) — this runs only when a caller passes
+        `TrainConfig.keep_checkpoints`. Never deleted: marker checkpoints
+        (non-numeric suffix — interrupt/stall/none) and, with keep_best,
+        the max-accuracy save (model selection must survive retention).
+        Returns the deleted paths."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        regular = []
+        for step, suffix, path in self.list_checkpoints():  # step-sorted
+            try:
+                acc = float(suffix)
+            except ValueError:
+                continue  # markers are never pruned
+            regular.append((step, acc, path))
+        keep = {p for _, _, p in regular[-keep_last:]}
+        if keep_best and regular:
+            keep.add(max(regular, key=lambda t: (t[1], t[0]))[2])
+        deleted = []
+        for _, _, p in regular:
+            if p in keep:
+                continue
+            try:
+                self._delete(p)
+                deleted.append(p)
+            except OSError:
+                pass  # a racing reader holding the file open is fine
+        return deleted
+
+    @staticmethod
+    def _delete(path: str):
+        os.remove(path)
+
     def latest_path(self) -> str | None:
         """Max-step checkpoint in the dir, parsed from filenames (network.py:110-118)."""
         paths = glob(os.path.join(self.model_dir, "roomnet--*--*.npz"))

@@ -21,6 +21,7 @@ import numpy as np
 
 from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, RoomNetConfig
 from roomnet_tpu.params import schema
+from roomnet_tpu.params.checkpoint import CheckpointStore as _NpzStore
 
 CKPT_DIR_RE = re.compile(r"roomnet--(?P<suffix>.*?)--(?P<step>\d+)$")
 
@@ -67,6 +68,17 @@ class OrbaxCheckpointStore:
                 out.append((int(m.group("step")), m.group("suffix"), p))
         out.sort(key=lambda t: (t[0], t[2]))
         return out
+
+    # Same opt-in retention as CheckpointStore.prune — the logic is shared
+    # wholesale (both stores expose step-sorted list_checkpoints); only
+    # _delete differs, because a checkpoint here is a DIRECTORY tree.
+    prune = _NpzStore.prune
+
+    @staticmethod
+    def _delete(path: str):
+        import shutil
+
+        shutil.rmtree(path)
 
     def latest_path(self) -> str | None:
         best, best_step = None, -1

@@ -66,6 +66,11 @@ class TrainConfig:
     img_side: int = 224
     train_steps: int = 100_000
     save_freq: int = 10
+    # OPT-IN retention: after each save keep only the newest N regular
+    # checkpoints (+ the best-accuracy one + all interrupt/stall markers).
+    # None = keep-all, the reference contract (network.py:80) and the
+    # default everywhere; set on long runs where keep-all exhausts disk.
+    keep_checkpoints: int | None = None
     learn_rate: float = 2e-4
     l2_coeff: float = 6e-2
     val_batch_size: int = 64
@@ -766,6 +771,13 @@ class Trainer:
                             suffix=str(entry["accuracy"]),
                             opt_state_flat=flatten_opt_state(state.opt_state),
                         )
+                    if tc.keep_checkpoints and is_rank0:
+                        # Deletion is rank-0-only file removal of COMPLETED
+                        # checkpoints; async orbax writes must land first
+                        # (prune sees only finished step dirs after wait).
+                        if hasattr(self.store, "wait"):
+                            self.store.wait()
+                        self.store.prune(tc.keep_checkpoints)
                     if is_rank0:
                         all_stats.append(entry)
                         # Atomic tmp+rename like the checkpoint store: the

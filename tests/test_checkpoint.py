@@ -160,3 +160,39 @@ def test_orbax_async_save_waits(tmp_path, variables):
     assert step == 5
     want = schema.flatten_variables(variables)
     np.testing.assert_array_equal(var_flat["dense/0/kernel"], want["dense/0/kernel"])
+
+
+def test_prune_keeps_newest_best_and_markers(tmp_path, variables):
+    """Opt-in retention (TrainConfig.keep_checkpoints): newest N regular
+    checkpoints survive, plus the best-accuracy one and every marker
+    (interrupt/stall) — and resume-latest still works. Default behavior
+    (no prune call) stays keep-all, pinned above."""
+    store = CheckpointStore(str(tmp_path))
+    for step, acc in [(10, "0.5"), (20, "0.95"), (30, "0.7"), (40, "0.8"),
+                      (50, "0.6")]:
+        store.save(variables, step, suffix=acc)
+    store.save(variables, 35, suffix="interrupt")  # marker: never pruned
+    deleted = store.prune(2)
+    names = sorted(os.path.basename(p) for _, _, p in store.list_checkpoints())
+    # newest 2 (40, 50) + best (20 at 0.95) + the marker
+    assert names == ["roomnet--0.6--50.npz", "roomnet--0.8--40.npz",
+                     "roomnet--0.95--20.npz", "roomnet--interrupt--35.npz"]
+    assert len(deleted) == 2
+    _, step = store.load(cfg=TINY)
+    assert step == 50  # resume-latest unaffected
+    with pytest.raises(ValueError):
+        store.prune(0)
+
+
+def test_prune_orbax_backend(tmp_path, variables):
+    """Same retention on the orbax store (checkpoints are directories)."""
+    from roomnet_tpu.params.orbax_io import OrbaxCheckpointStore
+
+    store = OrbaxCheckpointStore(str(tmp_path), async_save=False)
+    for step, acc in [(1, "0.4"), (2, "0.9"), (3, "0.5")]:
+        store.save(variables, step, suffix=acc)
+    store.prune(1)
+    steps = [s for s, _, _ in store.list_checkpoints()]
+    assert steps == [2, 3]  # newest + best
+    loaded_flat, step = store.load(cfg=TINY)
+    assert step == 3 and loaded_flat

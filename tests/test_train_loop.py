@@ -847,3 +847,25 @@ def test_trainer_corrupt_stats_file_quarantined(data_dir):
     with open(tc.stats_fpath) as f:
         stats = json.load(f)  # fresh, valid history
     assert stats and all("accuracy" in e for e in stats)
+
+
+def test_keep_checkpoints_retention(data_dir):
+    """TrainConfig.keep_checkpoints=1: after training, only the newest
+    regular checkpoint (plus the best-accuracy one when different) remains
+    — and resume-latest still works. Default (None) stays keep-all."""
+    import dataclasses
+
+    from roomnet_tpu.params.checkpoint import CheckpointStore
+
+    cfg = dataclasses.replace(TINY, num_classes=2)
+    tc = _tc(data_dir, keep_checkpoints=1,
+             phases=(Phase(until_step=1 << 62, batch_size=4),))
+    state = Trainer(tc, cfg).train(total_steps=11, log_every=100)
+    assert int(state.step) == 11
+    ckpts = CheckpointStore(tc.model_dir).list_checkpoints()
+    # saves at steps 5 and 10: retention keeps the newest; the best-acc one
+    # survives too (it may be the same file)
+    steps = [s for s, _, _ in ckpts]
+    assert 10 in steps and len(steps) <= 2, ckpts
+    state2 = Trainer(tc, cfg).train(total_steps=2, log_every=100)
+    assert int(state2.step) >= 11  # resume from the retained max step
