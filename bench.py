@@ -76,7 +76,33 @@ def main():
         pass
 
     # One wedged-session recovery window (~40 min) + slack, env-overridable.
-    _wait_for_backend(float(os.environ.get("BENCH_BACKEND_DEADLINE_S", 4500)))
+    deadline_s = float(os.environ.get("BENCH_BACKEND_DEADLINE_S", 4500))
+    try:
+        _wait_for_backend(deadline_s)
+    except RuntimeError as e:
+        # The TPU tunnel can be down for hours at a stretch (measured:
+        # 2026-08-17 21:40 UTC onward, >13 h of consecutive UNAVAILABLE
+        # inits). Dying with a stack trace leaves the driver no artifact
+        # at all; emit an explicit outage record instead — null values,
+        # never substituted numbers. The last driver-captured TPU numbers
+        # live in BENCH_r03.json; mid-round TPU measurements are in
+        # PERF.md's round-4 sections.
+        log(f"backend unavailable for the full {deadline_s:.0f}s window: {e}")
+        print(json.dumps({
+            "metric": "batched inference images/sec/chip @224x224 "
+                      "(bf16, batch 256)",
+            "value": None,
+            "unit": "images/sec",
+            "vs_baseline": None,
+            "extras": {
+                "error": "TPU backend unavailable for the full "
+                         f"{deadline_s:.0f}s retry window (axon tunnel "
+                         "outage; every init attempt raised UNAVAILABLE)",
+                "last_good_artifact": "BENCH_r03.json",
+                "mid_round_tpu_measurements": "PERF.md round-4 sections",
+            },
+        }))
+        return
 
     from roomnet_tpu.models.roomnet import (
         FAST_CONFIG,

@@ -157,6 +157,33 @@ def test_bench_backend_retry_recovers_after_failure():
     assert "attempt 1 failed" in out.stderr
 
 
+def test_bench_emits_outage_artifact_when_backend_never_appears():
+    """If the backend stays UNAVAILABLE past the full retry window (the
+    measured multi-hour axon tunnel outage), bench.main() must still
+    print ONE JSON line — an explicit outage record with null values,
+    never a stack trace and no artifact. Subprocess for the same
+    backend-isolation reason as the retry test above."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax; jax.config.update('jax_platforms', 'bogus')\n"
+        "import bench\n"
+        "bench.main()\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="", BENCH_BACKEND_DEADLINE_S="2")
+    out = subprocess.run([_sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    rec = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["value"] is None
+    assert rec["vs_baseline"] is None
+    assert "unavailable" in rec["extras"]["error"].lower()
+    assert rec["extras"]["last_good_artifact"] == "BENCH_r03.json"
+
+
 def test_registry_variants():
     assert "roomnet-224" in registry.names()
     assert registry.get("roomnet-300").im_side == 300
