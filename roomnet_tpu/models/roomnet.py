@@ -61,6 +61,13 @@ class RoomNetConfig:
     bn_eps: float = B.BN_EPS
     bn_momentum: float = B.BN_MOMENTUM
     compute_dtype: Any = jnp.float32
+    # Average-pool lowering: "reduce_window" | "depthwise" | "auto".
+    # "auto" resolves per pool site from the measured per-shape winners
+    # (tools/bench_kernels.py; PERF.md round-5 stride-2 table): stride-1
+    # pools stay reduce_window, stride-2 pools use the strided depthwise
+    # conv emitter. Parity mode (f32) pins reduce_window — its
+    # sum-then-divide matches TF AvgPool's rounding exactly.
+    pool_impl: str = "reduce_window"
 
     def spatial_sizes(self) -> list[list[int]]:
         """Per-block list of activation side lengths after each depth."""
@@ -164,6 +171,7 @@ def forward(
     collect_batch_stats: bool = False,
     dropout_rate=None,
     rng: jax.Array | None = None,
+    batch_row_mask: jnp.ndarray | None = None,
 ):
     """Forward pass on normalized RGB input NHWC in [-1,1].
 
@@ -175,6 +183,11 @@ def forward(
       dropout_rate: None disables dropout entirely; otherwise a (traced)
         scalar rate applied after every conv/dense block
         (reference network.py:204-206, 219-221).
+      batch_row_mask: optional float (B,) of 1.0 (real) / 0.0 (padded
+        row). Only consulted when use_batch_stats: BN batch moments
+        exclude padded rows, so a padded batch computes the same
+        statistics a shrunk real-rows-only batch would (the masked
+        multi-step/sharded-feed paths feed this).
 
     Input: normalized RGB float NHWC in [-1,1], OR raw uint8 BGR — uint8
     input triggers the free algebraic preprocess fold (see
@@ -197,7 +210,9 @@ def forward(
     def apply_bn(h, bn, path):
         nonlocal stats
         if use_batch_stats:
-            h, st = B.batch_norm_train(h, bn, cfg.bn_eps)
+            h, st = B.batch_norm_train(
+                h, bn, cfg.bn_eps, row_weights=batch_row_mask
+            )
             if collect_batch_stats:
                 stats[path] = st
             return h
@@ -214,7 +229,11 @@ def forward(
                 x = B.conv2d_valid(x, blk["conv"][d])
             x = B.relu6(x)
             if pool is not None:
-                x = B.avg_pool_valid(x, pool[0], pool[1])
+                if cfg.pool_impl == "auto":
+                    impl = "depthwise" if pool[1] > 1 else "reduce_window"
+                else:
+                    impl = cfg.pool_impl
+                x = B.avg_pool_valid(x, pool[0], pool[1], impl=impl)
             x = apply_bn(x, blk["bn"][d], f"blocks/{bi}/bn/{d}")
             if d == 0:
                 res_in = x

@@ -84,8 +84,38 @@ def conv2d_valid(
     ).astype(x.dtype)
 
 
-def avg_pool_valid(x: jnp.ndarray, ksize: int, stride: int) -> jnp.ndarray:
-    """Average pool, VALID padding (window always fully inside the input)."""
+def avg_pool_valid(
+    x: jnp.ndarray, ksize: int, stride: int, impl: str = "reduce_window"
+) -> jnp.ndarray:
+    """Average pool, VALID padding (window always fully inside the input).
+
+    impl selects the XLA lowering (per-shape winners measured in
+    tools/bench_kernels.py; PERF.md round-2/round-5 tables):
+      * "reduce_window" — sum-monoid reduce_window + scale; the parity
+        path (sum-then-divide matches TF's AvgPool rounding) and the
+        measured winner at the stride-1 shapes.
+      * "depthwise" — strided depthwise conv (feature_group_count=C) with
+        a constant 1/k² kernel; rides XLA's conv emitter. Numerics: each
+        tap is scaled BEFORE accumulation, so f32 results can differ from
+        reduce_window in the last ulp — bf16 results are tolerance-
+        identical (gated in the A/B harness).
+    """
+    if impl == "depthwise":
+        c = x.shape[-1]
+        kern = jnp.full((ksize, ksize, 1, c), 1.0 / (ksize * ksize), x.dtype)
+        return jax.lax.conv_general_dilated(
+            x,
+            kern,
+            window_strides=(stride, stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+            # HIGHEST so f32 inputs stay f32 (the default bf16-decomposes
+            # f32 convs on TPU: measured 4e-3 grad drift vs reduce_window
+            # on-chip). Free for bf16 inputs — the MXU natively multiplies
+            # bf16 and accumulates f32, which is what HIGHEST asks for.
+            precision=jax.lax.Precision.HIGHEST,
+        )
     # NOTE: init must be a concrete python scalar — a traced 0-array defeats
     # the reduce-window-sum monoid pattern-match and kills reverse-mode
     # autodiff on the TPU backend.
@@ -125,26 +155,46 @@ def batch_norm(x: jnp.ndarray, bn: dict, eps: float = BN_EPS) -> jnp.ndarray:
 
 
 def batch_norm_train(
-    x: jnp.ndarray, bn: dict, eps: float = BN_EPS
+    x: jnp.ndarray, bn: dict, eps: float = BN_EPS, row_weights: jnp.ndarray | None = None
 ) -> tuple[jnp.ndarray, BNStats]:
     """Training-mode BN: normalize with biased batch stats over all non-channel axes.
 
     Matches `tf.layers.batch_normalization(training=True)` (reference
     network.py:193 with compute_bn_mean_var=True). Returns batch stats so the
     caller can fold the moving-average update (momentum 0.99).
+
+    row_weights: optional float (B,) of 1.0 (real row) / 0.0 (padding).
+    When given, the batch moments are weighted so padded rows contribute
+    nothing — the statistics equal what a shrunk batch (real rows only)
+    computes (pinned by tests/test_train_step.py::test_masked_bn_*). A
+    zero-weight batch degrades to mean=0/var=0 (denominator clamped), which
+    the masked train step discards via its no-op gate.
     """
     axes = tuple(range(x.ndim - 1))
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=axes)
-    # Two-pass variance (mean of squared deviations), like TF's fused BN —
-    # the one-pass E[x²]−E[x]² form loses ~1e-3 of the activations to f32
-    # cancellation (post-ReLU6 means are O(1)) and visibly shifts
-    # training-mode logits vs the TF oracle (tests/test_grad_golden.py).
-    var = jnp.mean(jnp.square(x32 - mean), axis=axes)
-    n = 1
-    for a in axes:
-        n *= x.shape[a]
-    bessel = n / max(n - 1, 1)
+    if row_weights is None:
+        mean = jnp.mean(x32, axis=axes)
+        # Two-pass variance (mean of squared deviations), like TF's fused
+        # BN — the one-pass E[x²]−E[x]² form loses ~1e-3 of the activations
+        # to f32 cancellation (post-ReLU6 means are O(1)) and visibly
+        # shifts training-mode logits vs the TF oracle
+        # (tests/test_grad_golden.py).
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes)
+        n = 1
+        for a in axes:
+            n *= x.shape[a]
+        bessel = n / max(n - 1, 1)
+    else:
+        w = row_weights.astype(jnp.float32).reshape(
+            (-1,) + (1,) * (x.ndim - 1)
+        )
+        per_row = 1
+        for a in axes[1:]:
+            per_row *= x.shape[a]
+        n = jnp.maximum(jnp.sum(row_weights.astype(jnp.float32)), 1.0) * per_row
+        mean = jnp.sum(x32 * w, axis=axes) / n
+        var = jnp.sum(jnp.square(x32 - mean) * w, axis=axes) / n
+        bessel = n / jnp.maximum(n - 1.0, 1.0)
     inv = jax.lax.rsqrt(var + eps)
     w = (bn["scale"].astype(jnp.float32) * inv).astype(x.dtype)
     b = (

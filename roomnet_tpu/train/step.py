@@ -89,10 +89,13 @@ def loss_fn(
     row_mask=None,
 ):
     """row_mask: optional float (B,) of 1.0 (real row) / 0.0 (padding).
-    Masked rows contribute zero CE gradient and the mean divides by the
-    real-row count — matching what a shrunk batch (no padding) computes.
-    BN batch statistics still see padded rows (documented residual
-    divergence of the steps_per_call>1 path)."""
+    Masked rows contribute zero CE gradient, the mean divides by the
+    real-row count, and BN batch statistics (when compute_bn_mean_var)
+    exclude padded rows via weighted moments — so a padded batch computes
+    the SAME loss/gradients/BN stats a shrunk real-rows-only batch would.
+    Pinned by tests/test_train_step.py::test_masked_bn_matches_shrunk_batch:
+    real-row logits match to 2.8e-6 (the OLD padded-moment behavior
+    diverged 0.82 at a 3/8 pad fraction)."""
     variables = schema.unflatten_jax({**train_vars, **frozen_vars}, cfg)
     dropout_rate = hp.dropout_rate if hp.dropout_enabled else None
     out = forward(
@@ -103,6 +106,7 @@ def loss_fn(
         collect_batch_stats=hp.compute_bn_mean_var and hp.update_bn_moving,
         dropout_rate=dropout_rate,
         rng=rng if hp.dropout_enabled else None,
+        batch_row_mask=row_mask,
     )
     logits, bn_stats = out if isinstance(out, tuple) else (out, None)
     labels_1hot = jax.nn.one_hot(y, cfg.num_classes, dtype=logits.dtype)
@@ -220,9 +224,9 @@ def make_multi_train_step(
 
     row_mask (float 1.0/0.0): marks rows the feeder cycle-padded onto a
     partially-unreadable batch. Masked rows are excluded from the CE mean
-    and gradient — matching steps_per_call=1, where a shrunk batch trains
-    only on real rows. Residual divergence: BN batch statistics (when
-    compute_bn_mean_var) still see padded rows.
+    and gradient AND from BN batch statistics (weighted moments when
+    compute_bn_mean_var) — matching steps_per_call=1, where a shrunk
+    batch trains only on real rows.
     """
     step_fn = make_train_step(hp, cfg)
 

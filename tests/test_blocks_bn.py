@@ -115,3 +115,52 @@ def test_update_moving_stats_momentum_fold():
     )
     # scale/bias untouched by the moving fold
     np.testing.assert_array_equal(np.asarray(nb["scale"]), np.asarray(old["scale"]))
+
+
+def test_avg_pool_impls_equivalent():
+    """The depthwise-conv pool lowering must compute the same average as
+    reduce_window (f32: last-ulp scale-before-vs-after-accumulate
+    difference only; the A/B harness gates bf16 at the real shapes), for
+    every (ksize, stride) the architecture uses, plus a grad check — the
+    depthwise path must stay differentiable (it replaces reduce_window in
+    stride-2 sites under pool_impl="auto")."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    for k, s in ((3, 1), (4, 1), (4, 2)):
+        x = jnp.asarray(rng.uniform(-2, 2, (3, 21, 21, 8)).astype(np.float32))
+        a = B.avg_pool_valid(x, k, s)
+        b = B.avg_pool_valid(x, k, s, impl="depthwise")
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, rtol=0
+        )
+        ga = jax.grad(lambda x: jnp.sum(B.avg_pool_valid(x, k, s) ** 2))(x)
+        gb = jax.grad(
+            lambda x: jnp.sum(B.avg_pool_valid(x, k, s, impl="depthwise") ** 2)
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=2e-6, rtol=0
+        )
+
+
+def test_forward_pool_impl_auto_matches_reduce_window():
+    """pool_impl='auto' (stride-2 sites -> depthwise) must not move the
+    forward beyond float noise on the tiny config (which has a 4/s2
+    pool)."""
+    import dataclasses
+
+    import jax
+
+    from roomnet_tpu.models.roomnet import forward, init_variables
+    from tests.tiny import TINY
+
+    v = init_variables(jax.random.PRNGKey(0), TINY)
+    x = jnp.asarray(
+        np.random.RandomState(1).randint(0, 256, (4, 32, 32, 3), np.uint8)
+    )
+    base = forward(v, x, TINY)
+    auto = forward(v, x, dataclasses.replace(TINY, pool_impl="auto"))
+    np.testing.assert_allclose(
+        np.asarray(auto), np.asarray(base), atol=1e-5, rtol=0
+    )

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from roomnet_tpu.models.roomnet import forward, init_variables
+from roomnet_tpu.models.roomnet import forward, init_variables, normalize_bgr_uint8
 from roomnet_tpu.params import schema
 from roomnet_tpu.train.step import (
     TrainHParams,
@@ -204,8 +204,8 @@ def test_multi_step_row_mask_matches_shrunk_batch(batch):
     contribute ZERO gradient weight — the update must match running the
     SHRUNK batch through the single-step path (round-3 advisor: the
     unmasked path gave duplicated rows gradient weight, diverging from
-    steps_per_call=1 semantics). Frozen-BN phase: with batch-stats BN the
-    padded rows still enter BN statistics (documented residual)."""
+    steps_per_call=1 semantics). Frozen-BN phase here; the batch-stats-BN
+    case is pinned by test_masked_bn_matches_shrunk_batch."""
     from roomnet_tpu.train.step import make_multi_train_step
 
     hp = TrainHParams()  # final-phase: frozen BN, no dropout
@@ -242,6 +242,67 @@ def test_multi_step_row_mask_matches_shrunk_batch(batch):
             np.asarray(state_seq.train_vars[k]),
             atol=1e-3, rtol=0, err_msg=k,
         )
+
+
+def test_masked_bn_matches_shrunk_batch(batch):
+    """Batch-stats BN with a row mask: padded rows must be excluded from
+    the BN batch moments (weighted mean/var), so a cycle-padded batch
+    computes the SAME loss, parameter update, and BN moving-stat update a
+    shrunk real-rows-only batch does. This closes the round-4 'documented
+    residual divergence' (train/step.py previously let padded rows enter
+    BN statistics when compute_bn_mean_var=True). Measured magnitudes:
+    OLD behavior diverged 0.82 max on real-row logits at this pad
+    fraction; the weighted moments match to 2.8e-6."""
+    hp = TrainHParams(compute_bn_mean_var=True, update_bn_moving=True)
+    variables = init_variables(jax.random.PRNGKey(1), TINY)
+    x1, y1 = batch
+    B = x1.shape[0]
+    n_real = B - 3
+    rng0 = jax.random.PRNGKey(7)
+
+    # Truth: the shrunk batch (real rows only) through the masked=None path.
+    state_seq = init_train_state(variables, hp)
+    step = jax.jit(make_train_step(hp, TINY))
+    state_seq, metrics_seq = step(state_seq, x1[:n_real], y1[:n_real], rng0)
+
+    # Under test: cycle-padded back to B with the padding masked out.
+    idx = np.concatenate([np.arange(n_real), np.arange(B - n_real) % n_real])
+    mask = np.ones((B,), np.float32)
+    mask[n_real:] = 0.0
+    state_m, metrics_m = step(
+        init_train_state(variables, hp), x1[:n_real][idx], y1[:n_real][idx],
+        rng0, jnp.asarray(mask),
+    )
+
+    # The forward-level pin is tight: masked logits on real rows match the
+    # shrunk batch to float noise (2.8e-6 measured; 0.82 before the fix).
+    l_s = forward(variables, normalize_bgr_uint8(jnp.asarray(x1[:n_real])),
+                  TINY, use_batch_stats=True)
+    l_m = forward(variables, normalize_bgr_uint8(jnp.asarray(x1[:n_real][idx])),
+                  TINY, use_batch_stats=True,
+                  batch_row_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(l_m[:n_real]), np.asarray(l_s), atol=1e-4, rtol=0,
+    )
+    np.testing.assert_allclose(
+        float(metrics_m["loss"]), float(metrics_seq["loss"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # Post-Adam tolerance is looser by necessity, not by semantics: params
+    # whose analytic gradient is ZERO (a BN bias feeding another BN is
+    # shift-invariant; measured |g| ~1e-7) get noise-direction Adam updates
+    # up to ~lr, so float noise in the reduction order moves them ~1e-5.
+    # The OLD padded-BN behavior diverged ~1e-1 here — 2 orders above the
+    # gate (same rationale as test_multi_step_scan_matches_sequential).
+    for name, seq_d, m_d in [
+        ("train", state_seq.train_vars, state_m.train_vars),
+        ("frozen", state_seq.frozen_vars, state_m.frozen_vars),
+    ]:
+        for k in seq_d:
+            np.testing.assert_allclose(
+                np.asarray(m_d[k]), np.asarray(seq_d[k]),
+                atol=1e-3, rtol=0, err_msg=f"{name}:{k}",
+            )
 
 
 def test_all_masked_batch_is_a_state_noop(batch):

@@ -92,6 +92,150 @@ def bench_pool_kernels(batch=256):
     return results
 
 
+def bench_pool_s2(batch=256):
+    """Stride-2 pool lowerings at B3/B5's real shapes (round-4 review next
+    item #1: the depthwise-conv pooling formulation was only ever measured
+    at B1/B2's STRIDE-1 shapes; pool4/s2 as an XLA strided depthwise conv
+    was the unmeasured natural lowering). Contenders per shape:
+
+      * XLA reduce_window (production path),
+      * XLA strided depthwise conv (feature_group_count=C, window strides),
+      * banded-matmul pooling on the MXU (the resize trick: H then W
+        contractions with (in, out) averaging matrices).
+
+    Pallas is absent by design: strided window compaction lowers to
+    gathers/lane-merging reshapes Mosaic rejects (ops/pallas/pool.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from roomnet_tpu.ops import blocks as B
+
+    rng = np.random.RandomState(0)
+    results = {}
+    print(f"== relu6+avgpool4/s2+BN lowerings (batch {batch}, bf16) ==")
+    for tag, (H, C, k, s) in {
+        "B3 pool4/s2 203^2x64": (203, 64, 4, 2),
+        "B3 pool4/s2  98^2x64": (98, 64, 4, 2),
+        "B5 pool4/s2  44^2x16": (44, 16, 4, 2),
+    }.items():
+        bn = {
+            "scale": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5),
+            "bias": jnp.asarray(rng.randn(C).astype(np.float32)),
+            "mean": jnp.asarray(rng.randn(C).astype(np.float32)),
+            "var": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5),
+        }
+        key = jax.random.PRNGKey(0)
+        x = jax.jit(
+            lambda k: jax.random.normal(k, (batch, H, H, C), jnp.bfloat16)
+        )(key)
+
+        rw = jax.jit(
+            lambda x: B.batch_norm(B.avg_pool_valid(B.relu6(x), k, s), bn)
+        )
+
+        dw_kernel = jnp.full((k, k, 1, C), 1.0 / (k * k), jnp.bfloat16)
+
+        def dw(x):
+            h = B.relu6(x)
+            p = jax.lax.conv_general_dilated(
+                h, dw_kernel, (s, s), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C,
+            )
+            return B.batch_norm(p, bn)
+
+        dwj = jax.jit(dw)
+
+        # banded matmul: out = Ph^T x Pw with (H, Ho) averaging matrices —
+        # the same compile-time-constant contraction pattern as the TF1
+        # residual resize (ops/resize.py), riding the MXU.
+        Ho = (H - k) // s + 1
+        P = np.zeros((H, Ho), np.float32)
+        for o in range(Ho):
+            P[o * s: o * s + k, o] = 1.0 / k
+        Pj = jnp.asarray(P, jnp.bfloat16)
+
+        def bm(x):
+            h = B.relu6(x)
+            # contract H: (B,H,W,C) x (H,Ho) -> (B,W,C,Ho) -> transpose
+            h = jnp.einsum("bhwc,ho->bowc", h, Pj)
+            h = jnp.einsum("bowc,wp->bopc", h, Pj)
+            return B.batch_norm(h, bn)
+
+        bmj = jax.jit(bm)
+
+        ref = rw(x).astype(jnp.float32)
+        d_dw = float(jnp.abs(dwj(x).astype(jnp.float32) - ref).max())
+        d_bm = float(jnp.abs(bmj(x).astype(jnp.float32) - ref).max())
+        assert d_dw < 0.25 and d_bm < 0.25, (tag, d_dw, d_bm)
+        t_rw = timeit(rw, x)
+        t_dw = timeit(dwj, x)
+        t_bm = timeit(bmj, x)
+        best = min((t_rw, "XLA-rw"), (t_dw, "XLA-dwconv"), (t_bm, "banded-mm"))[1]
+        results[tag] = (t_rw, t_dw, t_bm)
+        print(f"{tag:24s}: xla-rw {t_rw:7.3f} ms | xla-dwconv {t_dw:7.3f} ms"
+              f" | banded-mm {t_bm:7.3f} ms -> keep {best} "
+              f"(|d| dw {d_dw:.3f} bm {d_bm:.3f})")
+    return results
+
+
+def bench_b3_chain(batch=256, pool_impls=("reduce_window", "depthwise")):
+    """Full B3 block A/B IN CONTEXT (conv 32->64 s1 + pool4/s2, conv 64->64
+    + pool4/s2, TF1 residual resize 100->48 + BN): pure-XLA reduce_window
+    pools vs the alternate stride-2 lowerings, including every layout cost
+    between groups. B3 = 10.4 ms = ~31% of the round-1 forward profile and
+    never got the B2 treatment (round-4 review next item #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from roomnet_tpu.ops import blocks as B
+    from roomnet_tpu.ops.resize import resize_bilinear_tf1
+
+    rng = np.random.RandomState(3)
+    kerns = [jnp.asarray(rng.randn(3, 3, cin, 64).astype(np.float32) * 0.05)
+             for cin in (32, 64)]
+    bns = []
+    for _ in range(3):  # 2 per-depth + 1 residual
+        bns.append({
+            "scale": jnp.asarray(rng.rand(64).astype(np.float32) + 0.5),
+            "bias": jnp.asarray(rng.randn(64).astype(np.float32)),
+            "mean": jnp.asarray(rng.randn(64).astype(np.float32)),
+            "var": jnp.asarray(rng.rand(64).astype(np.float32) + 0.5),
+        })
+
+    def make_b3(pool_impl):
+        def b3(x):
+            res = None
+            for d in range(2):
+                x = B.conv2d_valid(x, kerns[d])
+                x = B.relu6(x)
+                x = B.avg_pool_valid(x, 4, 2, impl=pool_impl)
+                x = B.batch_norm(x, bns[d])
+                if d == 0:
+                    res = x
+            x = x + resize_bilinear_tf1(res, (x.shape[1], x.shape[2]))
+            return B.batch_norm(x, bns[2])
+        return jax.jit(b3)
+
+    key = jax.random.PRNGKey(4)
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (batch, 205, 205, 32), jnp.bfloat16)
+    )(key)
+    print(f"== full B3 chain (conv->pool4/s2 x2 + residual), batch {batch}, bf16 ==")
+    fns = {impl: make_b3(impl) for impl in pool_impls}
+    ref = fns[pool_impls[0]](x).astype(jnp.float32)
+    out = {}
+    for impl, fn in fns.items():
+        d = float(jnp.abs(fn(x).astype(jnp.float32) - ref).max())
+        assert d < 0.25, (impl, d)
+        out[impl] = timeit(fn, x, iters=10)
+    best = min(out, key=out.get)
+    print("  ".join(f"{impl} {t:7.3f} ms" for impl, t in out.items())
+          + f" -> keep {best}")
+    return out
+
+
 def bench_conv_attempt(batch=256):
     """The measured Pallas-conv attempt at B2's hot shape (see
     ops/pallas/conv_b2.py docstring for why this settles the fused-B2 claim)."""
@@ -185,6 +329,8 @@ def main():
     from roomnet_tpu.params import schema
 
     bench_pool_kernels()
+    bench_pool_s2()
+    bench_b3_chain()
     bench_conv_attempt()
     bench_b2_chain()
 
