@@ -42,19 +42,11 @@ def _model_cfg(img_side: int, *, bf16: bool):
     """Config for the requested input geometry (README.md:32: the
     reference tried 224/300/600). im_side drives flat_len, so training or
     serving a non-224 model with the 224 config would fail at compile
-    with an opaque shape error — build the right geometry instead and
-    validate it like the registry does."""
-    import dataclasses
-
+    with an opaque shape error. Resolution goes through the model
+    registry, which owns every (geometry, precision) served config."""
     from roomnet_tpu.models import registry
-    from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
 
-    base = FAST_CONFIG if bf16 else DEFAULT_CONFIG
-    if img_side == base.im_side:
-        return base
-    cfg = dataclasses.replace(base, im_side=img_side)
-    registry.validate(cfg)
-    return cfg
+    return registry.resolve(img_side, bf16=bf16)
 
 
 def cmd_train(args):

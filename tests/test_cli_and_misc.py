@@ -192,6 +192,36 @@ def test_registry_variants():
         registry.get("nope")
 
 
+def test_registry_precision_symmetry_and_resolve():
+    """Every reference geometry (README.md:32) exists in BOTH precisions,
+    and `resolve` — the CLI's path — returns the canonical registry entry
+    for them (round-4 review weak #6: roomnet-300-bf16 was missing, so
+    serving the 300 geometry in the fast dtype required a hand-built
+    config)."""
+    import jax.numpy as jnp
+
+    for side in (224, 300, 600):
+        f32 = registry.get(f"roomnet-{side}")
+        bf16 = registry.get(f"roomnet-{side}-bf16")
+        assert f32.im_side == bf16.im_side == side
+        assert f32.compute_dtype == jnp.float32
+        assert bf16.compute_dtype == jnp.bfloat16
+        # resolve() is identity onto the registry for registered configs
+        assert registry.resolve(side, bf16=False) is f32
+        assert registry.resolve(side, bf16=True) is bf16
+    # unregistered geometry: derived + validated, right precision
+    assert registry.resolve(256, bf16=True).compute_dtype == jnp.bfloat16
+    with pytest.raises(ValueError):
+        registry.resolve(64, bf16=False)  # collapses below the geometry floor
+
+
+def test_cli_model_cfg_resolves_through_registry():
+    from roomnet_tpu.cli import _model_cfg
+
+    assert _model_cfg(300, bf16=True) is registry.get("roomnet-300-bf16")
+    assert _model_cfg(224, bf16=False) is registry.get("roomnet-224")
+
+
 def test_registry_validates_geometry():
     import dataclasses
 
