@@ -189,17 +189,20 @@ def main():
     state, metrics = step(state, xt, yt, key)
     _ = float(metrics["loss"])  # compile + full sync
     iters = 20
-    # Best of 2 chains: a single chain occasionally reads ~10% low when a
-    # relay hiccup lands inside it (measured 812 vs 919 same session); the
-    # device work is identical, so the faster chain is the honest capacity.
+    # Median of 3 chains — ONE timing rule for every bench segment (the
+    # e2e segment below is also median-of-3; round-4 review weak #5: the
+    # old best-of-2 here was a methodological fork that biased the one
+    # number vs_baseline is computed from). A single chain occasionally
+    # reads ~10% low when a relay hiccup lands inside it; the median
+    # absorbs that without cherry-picking the fastest.
     chain_ips = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = step(state, xt, yt, key)  # serialized via state dep
         _ = float(metrics["loss"])  # one scalar fetch bounds the chain
         chain_ips.append(TRAIN_BATCH * iters / (time.perf_counter() - t0))
-    train_ips = max(chain_ips)
+    train_ips = float(np.median(chain_ips))
     log(f"training: {train_ips:.0f} img/s (chains {[round(c) for c in chain_ips]}; "
         f"reference: {REF_TRAIN_IPS:.1f})")
 
@@ -217,11 +220,14 @@ def main():
     yc = jax.device_put(rng.randint(0, 6, size=(CAP_BATCH,), dtype=np.int32))
     state_c, metrics = step(state_c, xc, yc, key)
     _ = float(metrics["loss"])  # compile (new batch shape) + sync
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state_c, metrics = step(state_c, xc, yc, key)
-    _ = float(metrics["loss"])
-    train_cap_ips = CAP_BATCH * iters / (time.perf_counter() - t0)
+    cap_chains = []
+    for _ in range(3):  # same median-of-3 rule as every other segment
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state_c, metrics = step(state_c, xc, yc, key)
+        _ = float(metrics["loss"])
+        cap_chains.append(CAP_BATCH * iters / (time.perf_counter() - t0))
+    train_cap_ips = float(np.median(cap_chains))
     del state_c, xc, yc
     log(f"training capacity (batch {CAP_BATCH}): {train_cap_ips:.0f} img/s")
 
@@ -383,60 +389,92 @@ def main():
         serve_relay_mbps = x.nbytes / 1e6 / (time.perf_counter() - t0)
         del xp
         log(f"relay at serving time: {serve_relay_mbps:.0f} MB/s")
-        lat = []
-        for _ in range(40):
-            t0 = time.perf_counter()
-            post()
-            lat.append(time.perf_counter() - t0)
-        serve_p50_ms = float(np.percentile(lat, 50) * 1e3)
-        serve_p99_ms = float(np.percentile(lat, 99) * 1e3)
-        # Floor model: a steady-state request = 1 device call shipping one
-        # image-row bucket (min bucket 1 x 150 KB) + ~2 relay round trips
-        # (dispatch + scalar fetch). Report p50 as a multiple of the
-        # transfer term so a relay-induced shift is visible in-artifact.
-        img_kb = 224 * 224 * 3 / 1e3
-        serve_transfer_ms = img_kb / serve_relay_mbps  # KB / (MB/s) = ms
-        log(f"steady-state serving p50 (HTTP+decode+device): "
-            f"{serve_p50_ms:.2f} ms  (p99 {serve_p99_ms:.1f} ms; "
-            f"bucket transfer alone {serve_transfer_ms:.1f} ms at this relay)")
-        # Keep-alive twin of the p50 loop: same 40 requests over ONE
-        # HTTP/1.1 connection (how a production client talks to the
-        # daemon). Reported ALONGSIDE the per-connection number — that one
-        # keeps its cross-round definition.
+        # Per-connection and keep-alive latency measured INTERLEAVED in one
+        # window (round-4 review weak #1: the two loops used to run minutes
+        # apart, so the relay's 2-3x drift could manufacture — or mask — a
+        # keep-alive delta with no probe to attribute it; BENCH_r04's
+        # 44.5-vs-38.6 ms "regression" was exactly that failure mode).
+        # Each iteration issues one fresh-connection request (the p50
+        # definition is unchanged: new TCP per request) and one request on
+        # a single persistent HTTP/1.1 connection; both samples therefore
+        # span the SAME relay conditions, and relay probes bracket the
+        # window so any residual drift is in-artifact.
         import http.client
 
+        img_kb = 224 * 224 * 3 / 1e3
         conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        lat, lat_ka = [], []
+        keepalive_err = None
         try:
-            lat_ka = []
+            conn.request("POST", "/classify", body=body)  # warm the conn
+            conn.getresponse().read()
             for _ in range(40):
+                t0 = time.perf_counter()
+                post()
+                lat.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 conn.request("POST", "/classify", body=body)
                 conn.getresponse().read()
                 lat_ka.append(time.perf_counter() - t0)
-            serve_p50_keepalive_ms = float(np.percentile(lat_ka, 50) * 1e3)
-            log(f"steady-state serving p50 over one keep-alive connection: "
-                f"{serve_p50_keepalive_ms:.2f} ms")
         except Exception as exc:  # noqa: BLE001
-            serve_p50_keepalive_ms = None
-            log(f"keep-alive p50 segment skipped: {type(exc).__name__}: {exc}")
+            keepalive_err = exc
         finally:
             conn.close()
+        if keepalive_err is not None and not lat:
+            # Keep-alive transport failed outright — fall back to the
+            # per-connection-only loop so the primary p50 still lands.
+            log(f"interleaved loop failed ({keepalive_err}); "
+                "per-connection fallback")
+            for _ in range(40):
+                t0 = time.perf_counter()
+                post()
+                lat.append(time.perf_counter() - t0)
+        serve_loops_interleaved = keepalive_err is None
+        serve_p50_ms = float(np.percentile(lat, 50) * 1e3)
+        serve_p99_ms = float(np.percentile(lat, 99) * 1e3)
+        # Relay AFTER the window: with the before-probe this bounds the
+        # drift any latency delta could hide in.
+        t0 = time.perf_counter()
+        xp = jax.device_put(x)
+        int(xp[0, 0, 0, 0])
+        serve_relay_after_mbps = x.nbytes / 1e6 / (time.perf_counter() - t0)
+        del xp
+        serve_transfer_ms = img_kb / serve_relay_mbps  # KB / (MB/s) = ms
+        log(f"steady-state serving p50 (HTTP+decode+device): "
+            f"{serve_p50_ms:.2f} ms  (p99 {serve_p99_ms:.1f} ms; "
+            f"bucket transfer alone {serve_transfer_ms:.1f} ms at this relay; "
+            f"relay after the window {serve_relay_after_mbps:.0f} MB/s)")
+        if lat_ka and len(lat_ka) == 40:
+            serve_p50_keepalive_ms = float(np.percentile(lat_ka, 50) * 1e3)
+            log(f"steady-state serving p50 over one keep-alive connection "
+                f"(same window): {serve_p50_keepalive_ms:.2f} ms")
+        else:
+            serve_p50_keepalive_ms = None
+            if keepalive_err is not None:
+                log(f"keep-alive p50 segment skipped: "
+                    f"{type(keepalive_err).__name__}: {keepalive_err}")
         # Concurrent throughput: the worker coalesces queued requests into
         # one padded device call, so aggregate req/s should far exceed
         # 1/p50 under load (the micro-batching design claim, measured).
         import threading
         import urllib.request as _ur
 
-        def device_call_count():
+        def device_call_stats():
             with _ur.urlopen(
                 f"http://127.0.0.1:{srv.port}/metrics", timeout=30
             ) as r:
                 import json as _json
 
                 m = _json.loads(r.read())
-            return m.get("serve/device_call", {}).get("count", 0)
+            return (
+                m.get("serve/device_call", {}).get("count", 0),
+                # Shipped bytes MEASURED by the worker per device call
+                # (incl. bucket padding) — round-4 review weak #3: the
+                # old full-bucket assumption could overstate ~2x.
+                m.get("serve/device_call_bytes", {}).get("total", 0),
+            )
 
-        calls_before = device_call_count()
+        calls_before, bytes_before = device_call_stats()
         n_req = 64
         errs = []
 
@@ -453,25 +491,28 @@ def main():
         for t in threads:
             t.join()
         burst_s = time.perf_counter() - t0
-        burst_calls = device_call_count() - calls_before
+        calls_after, bytes_after = device_call_stats()
+        burst_calls = calls_after - calls_before
         srv.stop()
         if not errs:
             serve_rps = n_req / burst_s
-            # Transfer-bound share of the burst: bytes the device calls
-            # shipped (each call pads to a power-of-2 bucket <= 8; assume
-            # the worst-case full bucket) over the measured relay. High %
-            # = the relay explains the throughput; low % = code overhead.
-            burst_mb = burst_calls * 8 * img_kb / 1e3
+            # Transfer-bound share of the burst: the bytes the worker
+            # MEASURED shipping (actual bucket sizes, padding included)
+            # over the measured relay. High % = the relay explains the
+            # throughput; low % = code overhead.
+            burst_mb = (bytes_after - bytes_before) / 1e6
             burst_transfer_s = burst_mb / serve_relay_mbps
             serve_burst_transfer_pct = 100 * burst_transfer_s / burst_s
             log(f"concurrent serving throughput ({n_req} in-flight): "
                 f"{serve_rps:.1f} req/s  ({burst_calls} device calls, "
-                f"<= {burst_mb:.1f} MB shipped = {serve_burst_transfer_pct:.0f}% "
+                f"{burst_mb:.1f} MB shipped (measured) = "
+                f"{serve_burst_transfer_pct:.0f}% "
                 f"of the burst transfer-bound at {serve_relay_mbps:.0f} MB/s)")
         else:
             serve_rps = None
             serve_burst_transfer_pct = None
             burst_calls = None
+            burst_mb = None
             log(f"concurrent segment errors: {len(errs)}")
     except Exception as e:
         serve_rps = None
@@ -526,11 +567,20 @@ def main():
             "serving_relay_MBps": (
                 round(serve_relay_mbps, 1) if serve_p50_ms else None
             ),
+            "serving_relay_after_window_MBps": (
+                round(serve_relay_after_mbps, 1) if serve_p50_ms else None
+            ),
+            "serving_latency_loops_interleaved": (
+                serve_loops_interleaved if serve_p50_ms else None
+            ),
             "concurrent_serving_req_per_sec": (
                 round(serve_rps, 1) if serve_rps else None
             ),
             "serving_burst_device_calls": (
                 burst_calls if serve_rps else None
+            ),
+            "serving_burst_shipped_MB_measured": (
+                round(burst_mb, 2) if serve_rps else None
             ),
             "serving_burst_transfer_bound_pct": (
                 round(serve_burst_transfer_pct, 1) if serve_rps else None

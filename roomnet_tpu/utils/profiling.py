@@ -30,6 +30,16 @@ class _Registry:
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
         self._recent: dict[str, list[float]] = defaultdict(list)
+        # Plain accumulators (bytes shipped, rows padded, ...): values,
+        # not durations — reported as {"total", "count"} in summary().
+        self._counters: dict[str, float] = defaultdict(float)
+        self._counter_events: dict[str, int] = defaultdict(int)
+
+    def count(self, name: str, value: float):
+        """Accumulate a measured VALUE (not a duration) under `name`."""
+        with self._lock:
+            self._counters[name] += value
+            self._counter_events[name] += 1
 
     def add(self, name: str, dt: float):
         with self._lock:
@@ -63,6 +73,11 @@ class _Registry:
                         len(srt) - 1, int(len(srt) * 0.99)
                     )]
                 out[k] = entry
+            for k in self._counters:
+                out[k] = {
+                    "total": self._counters[k],
+                    "count": self._counter_events[k],
+                }
             return out
 
     def reset(self):
@@ -70,6 +85,8 @@ class _Registry:
             self.totals.clear()
             self.counts.clear()
             self._recent.clear()
+            self._counters.clear()
+            self._counter_events.clear()
 
 
 SPANS = _Registry()

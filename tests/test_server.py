@@ -172,28 +172,17 @@ def test_keepalive_socket_options(server):
     """The handler must run TCP_NODELAY with a buffered wfile: the stdlib
     defaults (Nagle + unbuffered two-write responses) add a ~40 ms
     delayed-ACK stall to every response on a reused connection (measured
-    on-chip: keep-alive p50 96 ms vs 48 ms per-connection). Pin the
-    attributes AND verify a live connection has TCP_NODELAY set."""
-    import http.client
-    import socket
+    on-chip: keep-alive p50 96 ms vs 48 ms per-connection).
 
+    Server-side enforcement is pinned SOLELY by the class attributes:
+    `disable_nagle_algorithm` is honored by the stdlib
+    StreamRequestHandler.setup() (it sets TCP_NODELAY on every accepted
+    socket) and `wbufsize` by its makefile() call. A client socket cannot
+    observe the server side's option, so there is nothing more a live
+    connection could verify (round-4 advisor finding)."""
     handler = server._httpd.RequestHandlerClass
     assert handler.disable_nagle_algorithm is True
     assert handler.wbufsize > 0
-    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
-    try:
-        conn.request("GET", "/healthz")
-        r = conn.getresponse()
-        assert r.status == 200
-        r.read()
-        # client-side socket can't see the server's option; assert the
-        # server side via the handler class already checked above, and
-        # sanity-check the client socket accepts the same option (smoke
-        # that the platform supports it the way setup() sets it).
-        conn.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        assert conn.sock.getsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY)
-    finally:
-        conn.close()
 
 
 def test_idle_keepalive_connection_reaped(tmp_path):
@@ -293,6 +282,30 @@ def test_metrics_endpoint(server):
     assert "serve/device_call" in metrics
     assert metrics["serve/device_call"]["count"] >= 1
     assert metrics["serve/request"]["mean_ms"] > 0
+
+
+def test_metrics_report_measured_shipped_bytes(server):
+    """Every device call records the ACTUAL bytes it shipped (bucket
+    padding included) under serve/device_call_bytes — the bench computes
+    its transfer-bound % from this measurement instead of assuming
+    worst-case full buckets (round-4 review weak #3). A lone request
+    rides the smallest bucket, so the per-call delta must be exactly
+    min_bucket * side^2 * 3 bytes."""
+    def stats():
+        with urllib.request.urlopen(_url(server, "/metrics"), timeout=10) as r:
+            m = json.loads(r.read())
+        return (m.get("serve/device_call", {}).get("count", 0),
+                m.get("serve/device_call_bytes", {}).get("total", 0))
+
+    calls0, bytes0 = stats()
+    status, _ = _post(server, "/classify", _img_bytes())
+    assert status == 200
+    calls1, bytes1 = stats()
+    n_calls = calls1 - calls0
+    assert n_calls >= 1
+    side = server.classifier.cfg.im_side
+    min_bucket = server._bucket_sizes[0]
+    assert bytes1 - bytes0 == n_calls * min_bucket * side * side * 3
 
 
 def test_max_batch_larger_than_device_batch_is_clamped():
