@@ -62,11 +62,16 @@ class RoomNetConfig:
     bn_momentum: float = B.BN_MOMENTUM
     compute_dtype: Any = jnp.float32
     # Average-pool lowering: "reduce_window" | "depthwise" | "auto".
-    # "auto" resolves per pool site from the measured per-shape winners
-    # (tools/bench_kernels.py; PERF.md round-5 stride-2 table): stride-1
-    # pools stay reduce_window, stride-2 pools use the strided depthwise
-    # conv emitter. Parity mode (f32) pins reduce_window — its
-    # sum-then-divide matches TF AvgPool's rounding exactly.
+    # "auto" resolves PER POOL SITE from the measured per-shape winners
+    # (tools/bench_kernels.py on-chip; PERF.md round-5 stride-2 table):
+    # stride-1 pools and large-activation stride-2 pools (input side
+    # > 128, e.g. B3's 203² site) stay reduce_window; small-activation
+    # stride-2 pools (B3's 98² site: depthwise 2.97 ms vs rw 5.44 ms
+    # isolated; B5's ≤44² sites: tie) take the strided depthwise conv
+    # emitter — the in-context B3-chain winner is exactly this mix
+    # (re+de 12.47 ms vs re+re 12.60 vs de+de 12.91). Parity mode (f32)
+    # pins reduce_window — its sum-then-divide matches TF AvgPool's
+    # rounding exactly.
     pool_impl: str = "reduce_window"
 
     def spatial_sizes(self) -> list[list[int]]:
@@ -93,9 +98,29 @@ class RoomNetConfig:
 DEFAULT_CONFIG = RoomNetConfig()
 
 # Fast serving/training config: bf16 compute (single-pass MXU, half the HBM
-# traffic). Params stay f32; logits return f32. Parity mode (DEFAULT_CONFIG)
-# keeps full-f32 passes for golden equivalence with the reference graph.
-FAST_CONFIG = RoomNetConfig(compute_dtype=jnp.bfloat16)
+# traffic) + per-site pool lowerings. Params stay f32; logits return f32.
+# pool_impl="auto" measured on-chip (round 5): full forward 33.53 ms vs
+# 33.70 ms with reduce_window everywhere, logits BIT-IDENTICAL (max |d| 0.0,
+# 0/256 argmax flips, /tmp A/B in PERF.md round 5). Parity mode
+# (DEFAULT_CONFIG) keeps full-f32 passes + reduce_window for golden
+# equivalence with the reference graph.
+FAST_CONFIG = RoomNetConfig(compute_dtype=jnp.bfloat16, pool_impl="auto")
+
+
+def resolve_pool_impl(pool_impl: str, input_side: int, stride: int) -> str:
+    """Resolve the avg-pool lowering for one pool site.
+
+    "auto" applies the measured per-shape winners (PERF.md round-5
+    stride-2 table, tools/bench_kernels.py on-chip): the strided
+    depthwise-conv emitter only beats reduce_window for stride>1 pools
+    over small activations (input side <= 128 — B3's 98² site wins 1.8x
+    isolated, B5's <=44² sites tie); large strided sites (B3's 203²) and
+    every stride-1 site keep reduce_window. Any explicit impl passes
+    through untouched.
+    """
+    if pool_impl != "auto":
+        return pool_impl
+    return "depthwise" if (stride > 1 and input_side <= 128) else "reduce_window"
 
 
 def _bn_init(c: int) -> dict:
@@ -229,10 +254,7 @@ def forward(
                 x = B.conv2d_valid(x, blk["conv"][d])
             x = B.relu6(x)
             if pool is not None:
-                if cfg.pool_impl == "auto":
-                    impl = "depthwise" if pool[1] > 1 else "reduce_window"
-                else:
-                    impl = cfg.pool_impl
+                impl = resolve_pool_impl(cfg.pool_impl, x.shape[1], pool[1])
                 x = B.avg_pool_valid(x, pool[0], pool[1], impl=impl)
             x = apply_bn(x, blk["bn"][d], f"blocks/{bi}/bn/{d}")
             if d == 0:

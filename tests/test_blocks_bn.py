@@ -123,7 +123,7 @@ def test_avg_pool_impls_equivalent():
     difference only; the A/B harness gates bf16 at the real shapes), for
     every (ksize, stride) the architecture uses, plus a grad check — the
     depthwise path must stay differentiable (it replaces reduce_window in
-    stride-2 sites under pool_impl="auto")."""
+    small-activation stride-2 sites under pool_impl="auto")."""
     import jax
 
     rng = np.random.RandomState(0)
@@ -144,10 +144,26 @@ def test_avg_pool_impls_equivalent():
         )
 
 
+def test_resolve_pool_impl_per_site():
+    """'auto' must reproduce the measured per-site winners at the 224
+    geometry: B3 depth-0 (203² input, s2) stays reduce_window, B3 depth-1
+    (98², s2) goes depthwise, B5's small s2 sites go depthwise, and every
+    stride-1 site stays reduce_window; explicit impls pass through."""
+    from roomnet_tpu.models.roomnet import resolve_pool_impl
+
+    assert resolve_pool_impl("auto", 203, 2) == "reduce_window"
+    assert resolve_pool_impl("auto", 98, 2) == "depthwise"
+    assert resolve_pool_impl("auto", 44, 2) == "depthwise"
+    assert resolve_pool_impl("auto", 222, 1) == "reduce_window"
+    assert resolve_pool_impl("auto", 100, 1) == "reduce_window"
+    assert resolve_pool_impl("reduce_window", 98, 2) == "reduce_window"
+    assert resolve_pool_impl("depthwise", 203, 2) == "depthwise"
+
+
 def test_forward_pool_impl_auto_matches_reduce_window():
-    """pool_impl='auto' (stride-2 sites -> depthwise) must not move the
-    forward beyond float noise on the tiny config (which has a 4/s2
-    pool)."""
+    """pool_impl='auto' (small stride-2 sites -> depthwise) must not move
+    the forward beyond float noise on the tiny config (whose 4/s2 pool
+    sits below the 128-side threshold, so auto really swaps it)."""
     import dataclasses
 
     import jax

@@ -180,7 +180,14 @@ def bench_pool_s2(batch=256):
     return results
 
 
-def bench_b3_chain(batch=256, pool_impls=("reduce_window", "depthwise")):
+def bench_b3_chain(
+    batch=256,
+    pool_impls=(
+        ("reduce_window", "reduce_window"),
+        ("depthwise", "depthwise"),
+        ("reduce_window", "depthwise"),
+    ),
+):
     """Full B3 block A/B IN CONTEXT (conv 32->64 s1 + pool4/s2, conv 64->64
     + pool4/s2, TF1 residual resize 100->48 + BN): pure-XLA reduce_window
     pools vs the alternate stride-2 lowerings, including every layout cost
@@ -204,13 +211,13 @@ def bench_b3_chain(batch=256, pool_impls=("reduce_window", "depthwise")):
             "var": jnp.asarray(rng.rand(64).astype(np.float32) + 0.5),
         })
 
-    def make_b3(pool_impl):
+    def make_b3(impl_per_depth):
         def b3(x):
             res = None
             for d in range(2):
                 x = B.conv2d_valid(x, kerns[d])
                 x = B.relu6(x)
-                x = B.avg_pool_valid(x, 4, 2, impl=pool_impl)
+                x = B.avg_pool_valid(x, 4, 2, impl=impl_per_depth[d])
                 x = B.batch_norm(x, bns[d])
                 if d == 0:
                     res = x
@@ -223,8 +230,8 @@ def bench_b3_chain(batch=256, pool_impls=("reduce_window", "depthwise")):
         lambda k: jax.random.normal(k, (batch, 205, 205, 32), jnp.bfloat16)
     )(key)
     print(f"== full B3 chain (conv->pool4/s2 x2 + residual), batch {batch}, bf16 ==")
-    fns = {impl: make_b3(impl) for impl in pool_impls}
-    ref = fns[pool_impls[0]](x).astype(jnp.float32)
+    fns = {"+".join(i[:2] for i in impl): make_b3(impl) for impl in pool_impls}
+    ref = fns["+".join(i[:2] for i in pool_impls[0])](x).astype(jnp.float32)
     out = {}
     for impl, fn in fns.items():
         d = float(jnp.abs(fn(x).astype(jnp.float32) - ref).max())
