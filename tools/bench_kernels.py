@@ -243,6 +243,118 @@ def bench_b3_chain(
     return out
 
 
+def _resize_taps(in_size: int, out_size: int):
+    """Per-output-position (lo, hi, frac) tap arrays, TF1 convention —
+    same float32 coefficient arithmetic as ops/resize.py."""
+    scale = np.float32(in_size) / np.float32(out_size)
+    dst = np.arange(out_size, dtype=np.float32)
+    src = dst * scale
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo.astype(np.float32)).astype(np.float32)
+    return lo, hi, frac
+
+
+def bench_b2_residual(batch=256):
+    """B2 residual group A/B (round-5 review item #1): BN(x + resize_tf1(res))
+    at the real shapes (res 215^2x32 -> 205^2, x 205^2x32, batch 256, bf16).
+    In-context table shows this group 2.09x over its HBM bound — the only
+    group never measured against an alternative lowering. Variants:
+
+    - einsum_hw: current ops/resize.py (H-contraction then W, MXU matmuls)
+    - einsum_wh: same contractions, W first (layout order probe)
+    - gather:    two take+lerp passes (2-tap arithmetic instead of dense
+                 215-wide contractions; XLA gathers fuse as producers)
+
+    Measured both ISOLATED and IN CONTEXT (appended to B2 unit2's
+    conv+relu6+pool+BN so input layouts match the real forward; the
+    reported in-context number is chain_with_residual - chain_without)."""
+    import jax
+    import jax.numpy as jnp
+
+    from roomnet_tpu.ops import blocks as B
+    from roomnet_tpu.ops.resize import resize_bilinear_tf1, interp_matrix_tf1
+
+    rng = np.random.RandomState(7)
+    bn2, bnr = ({
+        "scale": jnp.asarray(rng.rand(32).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(32).astype(np.float32)),
+        "mean": jnp.asarray(rng.randn(32).astype(np.float32)),
+        "var": jnp.asarray(rng.rand(32).astype(np.float32) + 0.5),
+    } for _ in range(2))
+    kern = jnp.asarray(rng.randn(3, 3, 32, 32).astype(np.float32) * 0.05)
+
+    def rs_einsum_hw(res, out_hw):
+        return resize_bilinear_tf1(res, out_hw)
+
+    def rs_einsum_wh(res, out_hw):
+        hi = jax.lax.Precision.HIGHEST
+        wh = jnp.asarray(interp_matrix_tf1(res.shape[1], out_hw[0]), res.dtype)
+        ww = jnp.asarray(interp_matrix_tf1(res.shape[2], out_hw[1]), res.dtype)
+        y = jnp.einsum("bhwc,wj->bhjc", res, ww, precision=hi)
+        return jnp.einsum("bhjc,hi->bijc", y, wh, precision=hi)
+
+    def rs_gather(res, out_hw):
+        lo, hii, f = _resize_taps(res.shape[1], out_hw[0])
+        f = jnp.asarray(f, res.dtype)[None, :, None, None]
+        res = res[:, lo] * (1 - f) + res[:, hii] * f
+        lo, hii, f = _resize_taps(res.shape[2], out_hw[1])
+        f = jnp.asarray(f, res.dtype)[None, None, :, None]
+        return res[:, :, lo] * (1 - f) + res[:, :, hii] * f
+
+    variants = {"einsum_hw": rs_einsum_hw, "einsum_wh": rs_einsum_wh,
+                "gather": rs_gather}
+
+    key = jax.random.PRNGKey(5)
+    mk = jax.jit(lambda k, s: jax.random.normal(k, (batch, s, s, 32),
+                                                jnp.bfloat16), static_argnums=1)
+    x205 = mk(key, 205)
+    res = mk(jax.random.PRNGKey(6), 215)
+    y210 = mk(jax.random.PRNGKey(8), 210)
+
+    print(f"== B2 residual lowerings (res 215^2->205^2 +add+BN, batch {batch}, "
+          "bf16) ==", flush=True)
+    out = {}
+    # -- isolated: BN(x + resize(res))
+    iso = {}
+    ref = None
+    for name, rs in variants.items():
+        fn = jax.jit(lambda x, r, rs=rs: B.batch_norm(
+            x + rs(r, (205, 205)), bnr))
+        y = fn(x205, res).astype(jnp.float32)
+        if ref is None:
+            ref = y
+        d = float(jnp.abs(y - ref).max())
+        del y
+        iso[name] = timeit(fn, x205, res)
+        print(f"  isolated {name:10s} {iso[name]:7.3f} ms (|d|={d:.4f})",
+              flush=True)
+    # -- in context: unit2 conv+relu6+pool4/s1+BN then the residual group;
+    #    report chain - chain_without_residual.
+    def chain(y2, r, rs):
+        x = B.conv2d_valid(y2, kern)
+        x = B.relu6(x)
+        x = B.avg_pool_valid(x, 4, 1)
+        x = B.batch_norm(x, bn2)
+        if rs is None:
+            return x
+        x = x + rs(r, (x.shape[1], x.shape[2]))
+        return B.batch_norm(x, bnr)
+
+    base_fn = jax.jit(lambda y2, r: chain(y2, r, None))
+    base = timeit(base_fn, y210, res)
+    print(f"  context base (conv unit only)      {base:7.3f} ms", flush=True)
+    for name, rs in variants.items():
+        fn = jax.jit(lambda y2, r, rs=rs: chain(y2, r, rs))
+        t = timeit(fn, y210, res)
+        out[name] = t - base
+        print(f"  context  {name:10s} {t:7.3f} ms -> residual {t - base:7.3f} ms",
+              flush=True)
+    best = min(out, key=out.get)
+    print(f"  -> in-context winner: {best}", flush=True)
+    return out
+
+
 def bench_conv_attempt(batch=256):
     """The measured Pallas-conv attempt at B2's hot shape (see
     ops/pallas/conv_b2.py docstring for why this settles the fused-B2 claim)."""
@@ -340,6 +452,7 @@ def main():
     bench_b3_chain()
     bench_conv_attempt()
     bench_b2_chain()
+    bench_b2_residual()
 
     v = schema.unflatten_variables(dict(np.load("artifacts/roomnet_params.npz")))
 
