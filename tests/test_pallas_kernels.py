@@ -97,3 +97,25 @@ def test_conv3x3_pallas_matches_xla():
     want = B.conv2d_valid(x, kern)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+def test_residual_bn_pallas_matches_xla():
+    """The measured fused b2.residual attempt (ops/pallas/residual.py):
+    numerically BN(x + resize_tf1(res)) — the A/B harness
+    (tools/bench_kernels.py bench_b2_residual) measures why it loses to
+    the einsum lowering on-chip (boundary transposes + small-grid steps)."""
+    from roomnet_tpu.ops.pallas.residual import residual_bn_pallas
+    from roomnet_tpu.ops.resize import resize_bilinear_tf1
+
+    rng = np.random.RandomState(3)
+    bn = {
+        "scale": jax.numpy.asarray(rng.rand(8).astype(np.float32) + 0.5),
+        "bias": jax.numpy.asarray(rng.randn(8).astype(np.float32)),
+        "mean": jax.numpy.asarray(rng.randn(8).astype(np.float32)),
+        "var": jax.numpy.asarray(rng.rand(8).astype(np.float32) + 0.5),
+    }
+    x = jax.numpy.asarray(rng.randn(2, 21, 19, 8).astype(np.float32))
+    res = jax.numpy.asarray(rng.randn(2, 25, 23, 8).astype(np.float32))
+    want = B.batch_norm(x + resize_bilinear_tf1(res, (21, 19)), bn)
+    got = residual_bn_pallas(x, res, bn, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -305,6 +305,12 @@ def bench_b2_residual(batch=256):
     variants = {"einsum_hw": rs_einsum_hw, "einsum_wh": rs_einsum_wh,
                 "gather": rs_gather}
 
+    # Fused Pallas candidate (ops/pallas/residual.py): whole group in one
+    # kernel, measured INCLUDING its NHWC<->NCHW boundary transposes. It is
+    # a full-group function (resize+add+BN), so it slots in at the
+    # group level below rather than as an `rs` resize-only variant.
+    from roomnet_tpu.ops.pallas.residual import residual_bn_pallas
+
     key = jax.random.PRNGKey(5)
     mk = jax.jit(lambda k, s: jax.random.normal(k, (batch, s, s, 32),
                                                 jnp.bfloat16), static_argnums=1)
@@ -329,6 +335,11 @@ def bench_b2_residual(batch=256):
         iso[name] = timeit(fn, x205, res)
         print(f"  isolated {name:10s} {iso[name]:7.3f} ms (|d|={d:.4f})",
               flush=True)
+    fn_p = jax.jit(lambda x, r: residual_bn_pallas(x, r, bnr))
+    d = float(jnp.abs(fn_p(x205, res).astype(jnp.float32) - ref).max())
+    iso["pallas_cm"] = timeit(fn_p, x205, res)
+    print(f"  isolated {'pallas_cm':10s} {iso['pallas_cm']:7.3f} ms "
+          f"(|d|={d:.4f})", flush=True)
     # -- in context: unit2 conv+relu6+pool4/s1+BN then the residual group;
     #    report chain - chain_without_residual.
     def chain(y2, r, rs):
@@ -338,13 +349,15 @@ def bench_b2_residual(batch=256):
         x = B.batch_norm(x, bn2)
         if rs is None:
             return x
+        if rs == "pallas_cm":
+            return residual_bn_pallas(x, r, bnr)
         x = x + rs(r, (x.shape[1], x.shape[2]))
         return B.batch_norm(x, bnr)
 
     base_fn = jax.jit(lambda y2, r: chain(y2, r, None))
     base = timeit(base_fn, y210, res)
     print(f"  context base (conv unit only)      {base:7.3f} ms", flush=True)
-    for name, rs in variants.items():
+    for name, rs in {**variants, "pallas_cm": "pallas_cm"}.items():
         fn = jax.jit(lambda y2, r, rs=rs: chain(y2, r, rs))
         t = timeit(fn, y210, res)
         out[name] = t - base
