@@ -80,11 +80,12 @@ for _side in (300, 600):
     register(
         f"roomnet-{_side}", dataclasses.replace(DEFAULT_CONFIG, im_side=_side)
     )
+    # Derived from FAST_CONFIG (not DEFAULT + dtype) so every bf16 entry
+    # shares the fast lowerings — when FAST_CONFIG flipped to
+    # pool_impl="auto", DEFAULT-derived bf16 entries had silently forked
+    # from the 224 one (and from resolve()'s own fallback path).
     register(
-        f"roomnet-{_side}-bf16",
-        dataclasses.replace(
-            DEFAULT_CONFIG, im_side=_side, compute_dtype=jnp.bfloat16
-        ),
+        f"roomnet-{_side}-bf16", dataclasses.replace(FAST_CONFIG, im_side=_side)
     )
 register(
     "roomnet-tiny",

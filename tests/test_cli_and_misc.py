@@ -209,6 +209,14 @@ def test_registry_precision_symmetry_and_resolve():
         # resolve() is identity onto the registry for registered configs
         assert registry.resolve(side, bf16=False) is f32
         assert registry.resolve(side, bf16=True) is bf16
+        # every bf16 entry shares FAST_CONFIG's lowerings and every f32
+        # entry the parity ones (round-5 regression: 300/600-bf16 were
+        # derived DEFAULT+dtype, silently missing pool_impl="auto" when
+        # FAST_CONFIG gained it)
+        from roomnet_tpu.models.roomnet import DEFAULT_CONFIG, FAST_CONFIG
+
+        assert bf16.pool_impl == FAST_CONFIG.pool_impl
+        assert f32.pool_impl == DEFAULT_CONFIG.pool_impl
     # unregistered geometry: derived + validated, right precision
     assert registry.resolve(256, bf16=True).compute_dtype == jnp.bfloat16
     with pytest.raises(ValueError):
