@@ -336,8 +336,16 @@ def main():
             shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- steady-state serving latency (persistent daemon, warm device) ----
-    serve_p50_ms = None
-    serve_p50_keepalive_ms = None
+    # Every serving-segment local the JSON assembly references is
+    # initialized HERE: the segment's try can die between any two
+    # assignments (relay hiccups are the bench's documented failure mode),
+    # and an unbound local at assembly time would crash the whole run
+    # after the expensive TPU work, producing NO artifact.
+    serve_p50_ms = serve_p99_ms = serve_p50_keepalive_ms = None
+    serve_relay_mbps = serve_relay_after_mbps = None
+    serve_loops_interleaved = None
+    serve_rps = serve_burst_transfer_pct = None
+    burst_calls = burst_mb = None
     try:
         import tempfile
         import urllib.request
@@ -420,12 +428,21 @@ def main():
             keepalive_err = exc
         finally:
             conn.close()
-        if keepalive_err is not None and not lat:
-            # Keep-alive transport failed outright — fall back to the
-            # per-connection-only loop so the primary p50 still lands.
-            log(f"interleaved loop failed ({keepalive_err}); "
-                "per-connection fallback")
-            for _ in range(40):
+        if keepalive_err is not None:
+            # The window aborted (either call can be the one that raised).
+            # The interleave guarantee is void, so DISCARD the partial
+            # keep-alive samples rather than report a p50 whose twin spans
+            # a different window, and top the per-connection samples up to
+            # the full count so the headline p50 is never undersampled (a
+            # mid-loop abort used to silently report a p50 of as few as 1
+            # sample). If post() itself is broken, the top-up raises into
+            # the segment's except and the whole segment is skipped.
+            log(f"interleaved window aborted after {len(lat)} per-conn / "
+                f"{len(lat_ka)} keep-alive samples "
+                f"({type(keepalive_err).__name__}: {keepalive_err}); "
+                "discarding keep-alive, topping up per-connection")
+            lat_ka = []
+            while len(lat) < 40:
                 t0 = time.perf_counter()
                 post()
                 lat.append(time.perf_counter() - t0)
@@ -568,7 +585,8 @@ def main():
                 round(serve_relay_mbps, 1) if serve_p50_ms else None
             ),
             "serving_relay_after_window_MBps": (
-                round(serve_relay_after_mbps, 1) if serve_p50_ms else None
+                round(serve_relay_after_mbps, 1)
+                if serve_relay_after_mbps else None
             ),
             "serving_latency_loops_interleaved": (
                 serve_loops_interleaved if serve_p50_ms else None

@@ -116,6 +116,12 @@ def avg_pool_valid(
             # bf16 and accumulates f32, which is what HIGHEST asks for.
             precision=jax.lax.Precision.HIGHEST,
         )
+    if impl != "reduce_window":
+        # "auto" must be resolved per-site BEFORE this op (models.roomnet
+        # resolve_pool_impl); a typo'd impl silently benchmarking/serving
+        # the wrong lowering is exactly the A/B-integrity hole to close.
+        raise ValueError(f"unknown avg_pool impl {impl!r}; "
+                         "expected 'reduce_window' or 'depthwise'")
     # NOTE: init must be a concrete python scalar — a traced 0-array defeats
     # the reduce-window-sum monoid pattern-match and kills reverse-mode
     # autodiff on the TPU backend.

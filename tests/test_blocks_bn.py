@@ -6,6 +6,7 @@ momentum fold new = m*old + (1-m)*batch. Previously pinned only
 indirectly (convergence runs, scan-equivalence)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -180,3 +181,13 @@ def test_forward_pool_impl_auto_matches_reduce_window():
     np.testing.assert_allclose(
         np.asarray(auto), np.asarray(base), atol=1e-5, rtol=0
     )
+
+
+def test_avg_pool_unknown_impl_raises():
+    """A typo'd (or unresolved 'auto') impl must raise, not silently run
+    reduce_window while the caller believes it measured/served the other
+    lowering (round-5 review finding)."""
+    x = jnp.ones((1, 8, 8, 4), jnp.float32)
+    for bad in ("auto", "depthwize", ""):
+        with pytest.raises(ValueError):
+            B.avg_pool_valid(x, 4, 2, impl=bad)

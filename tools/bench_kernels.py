@@ -65,20 +65,14 @@ def bench_pool_kernels(batch=256):
         xla = jax.jit(lambda x: B.batch_norm(B.avg_pool_valid(B.relu6(x), k, s), bn))
         plk = lambda x: fused_relu6_pool_bn(x, w, b, ksize=k, stride=s)
 
-        # third contender: avg-pool as a depthwise conv (XLA's conv emitter,
-        # no custom-call layout boundary)
-        dw_kernel = jnp.full((k, k, 1, C), 1.0 / (k * k), jnp.bfloat16)
-
-        def dw(x):
-            h = B.relu6(x)
-            p = jax.lax.conv_general_dilated(
-                h, dw_kernel, (s, s), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=C,
+        # third contender: avg-pool as a depthwise conv — the SHIPPED
+        # lowering (ops/blocks.py impl="depthwise", incl. its precision
+        # flag), so the A/B measures the exact op production can select.
+        dwj = jax.jit(
+            lambda x: B.batch_norm(
+                B.avg_pool_valid(B.relu6(x), k, s, impl="depthwise"), bn
             )
-            return B.batch_norm(p, bn)
-
-        dwj = jax.jit(dw)
+        )
         # correctness gate first (bf16 tolerance)
         d = float(jnp.abs(plk(x).astype(jnp.float32) - xla(x).astype(jnp.float32)).max())
         assert d < 0.25, (tag, d)
@@ -134,18 +128,15 @@ def bench_pool_s2(batch=256):
             lambda x: B.batch_norm(B.avg_pool_valid(B.relu6(x), k, s), bn)
         )
 
-        dw_kernel = jnp.full((k, k, 1, C), 1.0 / (k * k), jnp.bfloat16)
-
-        def dw(x):
-            h = B.relu6(x)
-            p = jax.lax.conv_general_dilated(
-                h, dw_kernel, (s, s), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=C,
+        # The SHIPPED depthwise lowering (ops/blocks.py, incl. its
+        # precision flag), not an inline re-implementation — the A/B that
+        # justifies pool_impl="auto" must measure the exact op production
+        # runs.
+        dwj = jax.jit(
+            lambda x: B.batch_norm(
+                B.avg_pool_valid(B.relu6(x), k, s, impl="depthwise"), bn
             )
-            return B.batch_norm(p, bn)
-
-        dwj = jax.jit(dw)
+        )
 
         # banded matmul: out = Ph^T x Pw with (H, Ho) averaging matrices —
         # the same compile-time-constant contraction pattern as the TF1

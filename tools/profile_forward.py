@@ -142,7 +142,7 @@ def main(batch: int = 256, groups: bool = False):
         if name == "dense head":
             return sum(v for k, v in bounds.items() if k.startswith("dense"))
         if name.endswith(".residual"):
-            return bounds[name.replace(".residual", "") + ".residual"]
+            return bounds[name]  # roofline groups use the same name
         b, u = name.split(".unit")
         n = f"{b}.conv{u}"
         total = bounds[n]

@@ -9,7 +9,7 @@ Isolated timing excludes cross-group layout effects, so the table is read
 two ways: per-group `measured/bound` is the emitter-quality number, and
 `sum(isolated) - in-context total` is the fusion/layout interaction term.
 
-Usage:  python tools/profile_groups.py [batch] [--pool-impl reduce_window|depthwise]
+Usage:  python tools/profile_groups.py [batch] [--pool-impl auto|reduce_window|depthwise]
 """
 
 from __future__ import annotations
@@ -22,27 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
-
-def timeit(jfn, *args, iters=20):
-    import jax.numpy as jnp
-
-    r = jfn(*args)
-    float(jnp.sum(r.astype(jnp.float32)))
-    del r
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(iters):
-        r = jfn(*args)
-    float(jnp.sum(r.astype(jnp.float32)))
-    return (time.perf_counter() - t0) / iters * 1e3
+# ONE timing helper for the kernel tools (keep-only-newest-ref HBM rule
+# and the submit-N-fetch-one-scalar pattern live there).
+from tools.bench_kernels import timeit  # noqa: E402
 
 
-def main(batch: int = 256, pool_impl: str = "reduce_window"):
+def main(batch: int = 256, pool_impl: str = "auto"):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    from roomnet_tpu.models.roomnet import FAST_CONFIG as cfg
-    from roomnet_tpu.models.roomnet import forward, init_variables, normalize_bgr_uint8
+    from roomnet_tpu.models.roomnet import FAST_CONFIG
+    from roomnet_tpu.models.roomnet import (
+        forward,
+        init_variables,
+        normalize_bgr_uint8,
+        resolve_pool_impl,
+    )
     from roomnet_tpu.ops import blocks as B
     from roomnet_tpu.ops.resize import resize_bilinear_tf1
     from roomnet_tpu.params import schema
@@ -56,6 +53,14 @@ def main(batch: int = 256, pool_impl: str = "reduce_window"):
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     except Exception:
         pass
+
+    # ONE lowering for both halves of the comparison: the in-context
+    # forward runs with the SAME pool_impl the isolated rows time (a
+    # FAST_CONFIG='auto' in-context total against reduce_window isolated
+    # rows would bake a ~2.5 ms lowering delta into the printed
+    # "fusion/layout interaction" term). "auto" (the shipped default) is
+    # resolved per pool site below, exactly as forward() resolves it.
+    cfg = dataclasses.replace(FAST_CONFIG, pool_impl=pool_impl)
 
     ckpt = "artifacts/roomnet_params.npz"
     if os.path.exists(ckpt):
@@ -97,9 +102,10 @@ def main(batch: int = 256, pool_impl: str = "reduce_window"):
                 pk, pst = pool
                 x_p = dev_rand((batch, s, s, filters))
                 bn = blk["bn"][d]
+                site_impl = resolve_pool_impl(pool_impl, s, pst)
                 pool_fn = jax.jit(
-                    lambda x, bn=bn, pk=pk, pst=pst: B.batch_norm(
-                        B.avg_pool_valid(x, pk, pst, impl=pool_impl), bn
+                    lambda x, bn=bn, pk=pk, pst=pst, si=site_impl: B.batch_norm(
+                        B.avg_pool_valid(x, pk, pst, impl=si), bn
                     )
                 )
                 rows.append((f"b{bi + 1}.pool{d}", timeit(pool_fn, x_p)))
@@ -179,7 +185,7 @@ def main(batch: int = 256, pool_impl: str = "reduce_window"):
 
 if __name__ == "__main__":
     b = 256
-    impl = "reduce_window"
+    impl = "auto"
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
